@@ -2,9 +2,15 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  /** Flagship query: the full KG-construction pipeline (synthesize
+    * transcripts deterministically -> extract triples -> hashed edge table ->
+    * lodcc measures, long format). Driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val turns = graft.io.Transcripts.generate(spark, nConvs = 200, partitions = 8).toDF()
+    val (_, edges) = Pipeline.build(turns, partitions = 8)
+    Pipeline.measures(edges.cache())
+  }
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

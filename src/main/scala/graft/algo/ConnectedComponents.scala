@@ -1,0 +1,94 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Weakly-connected components via alternating large-star / small-star
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+  * — O(log n) rounds, no giant-frontier propagation, robust to skewed
+  * components (a star with a hot hub shrinks in one round instead of
+  * funneling through one reducer for `diameter` rounds).
+  *
+  * lodcc analog: `label_largest_component` (`edge_based.py:18`); the same
+  * kernel canonicalizes entities after MinHash-LSH blocking (north rule).
+  *
+  * Input: edge DataFrame with columns (src, dst) — direction ignored.
+  * Output: (vertex, component) where component = min vertex id reachable.
+  */
+object ConnectedComponents {
+
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    // symmetric simple edge pairs, self-loops dropped
+    var pairs = edges.select(col("src").as("u"), col("dst").as("v"))
+      .where(col("u") =!= col("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v"))
+        .where(col("u") =!= col("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var converged = false
+    var iter = 0
+    var prevSig: (Long, Long) = (-1L, -1L)
+    while (!converged && iter < maxIter) {
+      // large-star: connect every neighbor v > u to m = min(N(u) u {u})
+      val ls = {
+        val mins = pairs.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("mn"))
+        pairs.join(mins, "u")
+          .where(col("v") > col("u"))
+          .select(col("v").as("a"), col("mn").as("b"))
+          .where(col("a") =!= col("b"))
+      }
+      // small-star: for each u, connect all neighbors v <= u (and u) to the min
+      val ss = {
+        val smaller = ls.select(
+          greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        val mins = smaller.groupBy("u").agg(min(col("v")).as("mn"))
+        smaller.join(mins, "u")
+          .select(col("v").as("a"), col("mn").as("b"))
+          .union(mins.select(col("u").as("a"), col("mn").as("b")))
+          .where(col("a") =!= col("b"))
+          .distinct()
+      }
+      val next = ss.select(col("a").as("u"), col("b").as("v"))
+        .union(ss.select(col("b").as("u"), col("a").as("v")))
+        .distinct()
+        .localCheckpoint(true) // truncate lineage every round
+
+      // overflow-free set signature: count + bitwise XOR of row hashes
+      // (rows are distinct, so XOR is a faithful multiset-free signature)
+      val sigRow = next.agg(
+        count(lit(1)).as("c"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
+      val sig = (sigRow.getLong(0), sigRow.getLong(1))
+      pairs.unpersist(false)
+      pairs = next
+      converged = sig == prevSig
+      prevSig = sig
+      iter += 1
+    }
+    // pairs now (member, root) star: component = min neighbor (or self for roots)
+    val comp = pairs.groupBy(col("u").as("vertex")).agg(min(col("v")).as("component"))
+    val asSelf = comp.select(
+      col("vertex"),
+      least(col("vertex"), col("component")).as("component"))
+    // isolated-in-pairs roots map to themselves; vertices absent entirely
+    // (isolated in the input, only possible via self-loops) map to self too
+    val allVs = edges.select(col("src").as("vertex"))
+      .union(edges.select(col("dst").as("vertex"))).distinct()
+    allVs.join(asSelf, Seq("vertex"), "left_outer")
+      .select(col("vertex"), coalesce(col("component"), col("vertex")).as("component"))
+  }
+
+  /** (component, size) ordered by size desc. */
+  def componentSizes(cc: DataFrame): DataFrame =
+    cc.groupBy("component").agg(count(lit(1)).as("size"))
+
+  /** Vertices of the largest component (ties: smallest component id wins). */
+  def largestComponent(cc: DataFrame): DataFrame = {
+    val top = componentSizes(cc)
+      .orderBy(col("size").desc, col("component").asc).limit(1)
+    cc.join(broadcast(top), "component").select("vertex")
+  }
+}

@@ -1,0 +1,51 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Eigenvector centrality by power iteration on A^T (in-edges accumulate),
+  * graph-tool semantics (`centrality.py:42-55` calls `eigenvector(D)`):
+  * x'(v) = sum_{(u,v) in E} x(u), L2-normalized each step, convergence when
+  * the L1 delta < eps. Parallel edges count with multiplicity.
+  */
+object Eigenvector {
+
+  def run(edges: DataFrame, eps: Double = 1e-6, maxIter: Int = 100): DataFrame = {
+    val links = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val vertices = edges.select(col("src").as("vertex"))
+      .union(edges.select(col("dst").as("vertex")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = vertices.count()
+    var x = vertices.withColumn("ev", lit(1.0 / math.sqrt(n.toDouble))).localCheckpoint(true)
+    var iter = 0
+    var delta = Double.MaxValue
+    while (delta > eps && iter < maxIter) {
+      val raw = links.join(x, links("src") === x("vertex"))
+        .groupBy(col("dst").as("vertex"))
+        .agg(sum(col("ev")).as("s"))
+      val withAll = vertices.join(raw, Seq("vertex"), "left_outer")
+        .select(col("vertex"), coalesce(col("s"), lit(0.0)).as("s"))
+      val norm = math.sqrt(
+        withAll.agg(coalesce(sum(col("s") * col("s")), lit(0.0))).head().getDouble(0))
+      if (norm == 0.0) {
+        delta = 0.0 // graph has no cycles reachable: eigenvector degenerates
+        x = withAll.select(col("vertex"), col("s").as("ev")).localCheckpoint(true)
+      } else {
+        val next = withAll.select(col("vertex"), (col("s") / norm).as("ev")).localCheckpoint(true)
+        delta = next.join(x.withColumnRenamed("ev", "prev"), "vertex")
+          .agg(coalesce(sum(abs(col("ev") - col("prev"))), lit(0.0)))
+          .head().getDouble(0)
+        x = next
+      }
+      iter += 1
+    }
+    links.unpersist(false)
+    x
+  }
+
+  /** argmax vertex, lodcc tie-break "later wins" pinned as greatest vertex. */
+  def maxVertex(ev: DataFrame): DataFrame =
+    ev.agg(max_by(col("vertex"), struct(col("ev"), col("vertex"))).as("max_eigenvector_vertex"))
+}

@@ -1,0 +1,58 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** PageRank with graph-tool's conventions (`centrality.py:81-98` calls
+  * `graph_tool.centrality.pagerank`): the *unnormalized* fixpoint
+  * PR(v) = (1 - d) + d * sum_{(u,v) in E} PR(u) / outdeg(u),
+  * damping d = 0.85, L1 convergence epsilon = 1e-6, parallel edges counted
+  * with multiplicity, dangling vertices contribute nothing.
+  *
+  * DataFrame-iterative: one shuffle join per iteration against a cached
+  * (src, dst, out_deg) link table; lineage truncated via localCheckpoint.
+  */
+object PageRank {
+
+  def run(edges: DataFrame, damping: Double = 0.85, eps: Double = 1e-6,
+          maxIter: Int = 100): DataFrame = {
+    val links = edges.select("src", "dst")
+      .join(edges.groupBy("src").agg(count(lit(1)).as("out_deg")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vertices = edges.select(col("src").as("vertex"))
+      .union(edges.select(col("dst").as("vertex")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = vertices.withColumn("rank", lit(1.0 - damping)).localCheckpoint(true)
+    var iter = 0
+    var delta = Double.MaxValue
+    while (delta > eps && iter < maxIter) {
+      val contribs = links
+        .join(ranks, links("src") === ranks("vertex"))
+        .groupBy(col("dst").as("vertex"))
+        .agg(sum(col("rank") / col("out_deg")).as("c"))
+      val next = vertices.join(contribs, Seq("vertex"), "left_outer")
+        .select(col("vertex"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+      delta = next.join(ranks.withColumnRenamed("rank", "prev"), "vertex")
+        .agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0)))
+        .head().getDouble(0)
+      ranks = next
+      iter += 1
+    }
+    links.unpersist(false)
+    ranks
+  }
+
+  /** (max_pagerank, max_pagerank_vertex) — argmax, ties resolved like lodcc's
+    * `>=` scan (`centrality.py:88-98`: later vertex wins) pinned here as
+    * greatest vertex id among ties.
+    */
+  def maxRank(ranks: DataFrame): DataFrame =
+    ranks.agg(
+      max(col("rank")).as("max_pagerank"),
+      max_by(col("vertex"), struct(col("rank"), col("vertex"))).as("max_pagerank_vertex"))
+}

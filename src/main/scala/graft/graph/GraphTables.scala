@@ -1,0 +1,71 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.gfunctions.xxh64_hex
+
+/** Triples -> hashed edge table + vertex dictionary (lodcc S5/S7/S11/S12
+  * analogs, `graph/building/edgelist.py:36-148`).
+  *
+  * The edge table IS the graph — there is no mutable graph object. The vertex
+  * dictionary (hash -> surface form) is materialized at build time, which
+  * makes lodcc's brute-force reverse scan (`graph/extras/bfv.py:60-91`)
+  * a plain broadcast join by construction.
+  */
+object GraphTables {
+
+  /** (subj, pred, obj) -> (src, dst, label) xxh64-hex hashed edge rows,
+    * byte-parity with lodcc's edgelist lines (`edgelist.py:79-83`). */
+  def edges(triples: DataFrame): DataFrame =
+    triples.select(
+      xxh64_hex(col("subj")).as("src"),
+      xxh64_hex(col("obj")).as("dst"),
+      xxh64_hex(col("pred")).as("label"))
+
+  /** Vertex dictionary: distinct (vhash, surface) over subjects+objects. */
+  def vertices(triples: DataFrame): DataFrame =
+    triples.select(col("subj").as("surface"))
+      .union(triples.select(col("obj").as("surface")))
+      .distinct()
+      .select(xxh64_hex(col("surface")).as("vhash"), col("surface"))
+
+  /** Predicate dictionary: distinct (lhash, surface). */
+  def predicates(triples: DataFrame): DataFrame =
+    triples.select(col("pred").as("surface")).distinct()
+      .select(xxh64_hex(col("surface")).as("lhash"), col("surface"))
+
+  /** Dense-int vertex encoding (lodcc S11, `edgelist.py:108-148`).
+    * The reference uses insertion order; we pin a deterministic lexicographic
+    * order instead (documented deviation — the ids are only group keys).
+    * NOTE: row_number over a global window single-threads the id assignment;
+    * acceptable because the vertex dictionary is ~|V| << |E| and this path is
+    * opt-in. At extreme scale switch to zipWithIndex on the sorted vertex RDD.
+    */
+  def vertexIds(edges: DataFrame): DataFrame = {
+    val vs = edges.select(col("src").as("vhash"))
+      .union(edges.select(col("dst").as("vhash"))).distinct()
+    vs.withColumn("vid", row_number().over(Window.orderBy("vhash")).cast("long") - 1L)
+  }
+
+  /** Integer edgelist: join edges through the vertex-id dictionary twice. */
+  def intEdges(edges: DataFrame, ids: DataFrame): DataFrame =
+    edges
+      .join(ids.withColumnRenamed("vhash", "src").withColumnRenamed("vid", "src_id"), "src")
+      .join(ids.withColumnRenamed("vhash", "dst").withColumnRenamed("vid", "dst_id"), "dst")
+      .select(col("src_id"), col("dst_id"), col("label"))
+
+  /** Symmetrized (undirected-view) edges, lodcc `core_measures.py:74-76`. */
+  def undirected(edges: DataFrame): DataFrame =
+    edges.select("src", "dst")
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** Simple undirected edge set: dedup + drop self loops, canonical a<b. */
+  def simpleUndirected(edges: DataFrame): DataFrame =
+    edges.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+}

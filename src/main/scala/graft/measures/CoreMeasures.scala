@@ -1,0 +1,100 @@
+package graft.measures
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** lodcc core topology measures (SURVEY.md §2.4 A1-A14) as lazy single-row
+  * DataFrames over the hashed edge table (src, dst, label). Heavy inputs
+  * (the degrees DF) are computed once and passed in, mirroring lodcc's
+  * "compute once" degree vector (`degree_based.py:26`).
+  */
+object CoreMeasures {
+
+  /** A1-A5: n, m, mean_degree, fill_overall, parallel_edges, m_unique, fill
+    * (`core/basic_measures.py:8-51`). One pass over edges + one over the
+    * distinct vertex set.
+    */
+  def basic(edges: DataFrame): DataFrame = {
+    val nDF = edges.select(col("src").as("v"))
+      .union(edges.select(col("dst").as("v")))
+      .agg(count_distinct(col("v")).as("n"))
+    val mDF = edges.agg(
+      count(lit(1)).as("m"),
+      count_distinct(col("src"), col("dst")).as("m_unique"))
+    nDF.crossJoin(mDF).select(
+      col("n"), col("m"),
+      try_divide(lit(2.0) * col("m"), col("n")).as("mean_degree"),
+      try_divide(col("m").cast("double"), col("n") * col("n")).as("fill_overall"),
+      (col("m") - col("m_unique")).as("parallel_edges"),
+      col("m_unique"),
+      try_divide(col("m_unique").cast("double"), col("n") * col("n")).as("fill"))
+  }
+
+  /** A6-A8: max degrees + degree centralities + stddev/var/CV
+    * (`degree_based.py:30-88`). NumPy `.std()`/`.var()` are population
+    * variants -> stddev_pop / var_pop. Centrality scale s = 1/(n-1).
+    */
+  def degreeStats(degrees: DataFrame): DataFrame =
+    degrees.agg(
+      count(lit(1)).as("n"),
+      max("deg").as("max_degree"),
+      max("in_deg").as("max_in_degree"),
+      max("out_deg").as("max_out_degree"),
+      sum("deg").as("sum_degrees"),
+      sum("in_deg").as("sum_in_degrees"),
+      sum("out_deg").as("sum_out_degrees"),
+      stddev_pop(col("in_deg")).as("stddev_in_degree"),
+      stddev_pop(col("out_deg")).as("stddev_out_degree"),
+      var_pop(col("in_deg")).as("var_in_degree"),
+      var_pop(col("out_deg")).as("var_out_degree"))
+      .select(
+        col("max_degree"), col("max_in_degree"), col("max_out_degree"),
+        try_divide(try_divide(col("sum_degrees"), col("n") - 1), col("n")).as("mean_degree_centrality"),
+        try_divide(try_divide(col("sum_in_degrees"), col("n") - 1), col("n")).as("mean_in_degree_centrality"),
+        try_divide(try_divide(col("sum_out_degrees"), col("n") - 1), col("n")).as("mean_out_degree_centrality"),
+        try_divide(col("max_degree"), col("n") - lit(1.0)).as("max_degree_centrality"),
+        try_divide(col("max_in_degree"), col("n") - lit(1.0)).as("max_in_degree_centrality"),
+        try_divide(col("max_out_degree"), col("n") - lit(1.0)).as("max_out_degree_centrality"),
+        col("stddev_in_degree"),
+        (try_divide(col("stddev_in_degree"), try_divide(col("sum_in_degrees"), col("n"))) * 100).as("coefficient_variation_in_degree"),
+        col("stddev_out_degree"),
+        (try_divide(col("stddev_out_degree"), try_divide(col("sum_out_degrees"), col("n"))) * 100).as("coefficient_variation_out_degree"),
+        col("var_in_degree"), col("var_out_degree"))
+
+  /** A6 argmax vertices. lodcc's tie-break is ">= in vertex-index order ->
+    * last inserted vertex wins" (`degree_based.py:41-59`); vertex index order
+    * is a property of graph-tool's load order, so we pin a deterministic
+    * equivalent: among tied degrees the lexicographically greatest vertex
+    * wins when `orderCol` is None, else the greatest `orderCol` value wins.
+    */
+  def maxDegreeVertices(degrees: DataFrame, orderCol: Option[String] = None): DataFrame = {
+    val ord = orderCol.map(col).getOrElse(col("vertex"))
+    degrees.agg(
+      max_by(col("vertex"), struct(col("deg"), ord)).as("max_degree_vertex"),
+      max_by(col("vertex"), struct(col("in_deg"), ord)).as("max_in_degree_vertex"),
+      max_by(col("vertex"), struct(col("out_deg"), ord)).as("max_out_degree_vertex"))
+  }
+
+  /** A14 reciprocity (`edge_based.py:8-13`): fraction of edges (s,t) such
+    * that at least one edge (t,s) exists. Semi-join against the distinct
+    * reversed pair set; parallel edges each count.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst")).distinct()
+    val recip = edges.join(rev, Seq("src", "dst"), "left_semi").agg(count(lit(1)).as("r"))
+    val m = edges.agg(count(lit(1)).as("m"))
+    recip.crossJoin(m).select(try_divide(col("r").cast("double"), col("m")).as("reciprocity"))
+  }
+
+  /** A13 centralization_degree (`centrality.py:21-40`): on the
+    * parallel-edge-free copy, sum(max_deg - deg) / ((N-1)(N-2))
+    * = (N*max - sum) / ((N-1)(N-2)).
+    */
+  def centralizationDegree(edges: DataFrame): DataFrame = {
+    val simple = edges.select("src", "dst").distinct()
+    Degrees.degrees(simple).agg(
+      count(lit(1)).as("nv"), max("deg").as("mx"), sum("deg").as("sm"))
+      .select(try_divide((col("nv") * col("mx") - col("sm")).cast("double"),
+        (col("nv") - 1) * (col("nv") - 2)).as("centralization_degree"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extract.{Extractor, Gazetteer, OracleExtractor, TextNorm}
+import graft.io.{Transcripts, Triple}
+
+/** The P/R >= 0.95 parity gate (BASELINE.json): Spark extractor vs the
+  * independent scalar oracle, on the deterministic synthetic transcripts.
+  */
+class ExtractorSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("gazetteer sanity: no normalized alias maps to two entities") {
+    val all = for { e <- Gazetteer.entities; a <- e.aliases } yield (TextNorm.normalize(a), e.id)
+    val conflicts = all.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1)
+    assert(conflicts.isEmpty, conflicts.toString)
+  }
+
+  test("normalization parity: SQL normalizeCol == TextNorm.normalize") {
+    val samples = Seq(
+      "Hey, can you tell me about Tim Berners-Lee?",
+      "Zürich and São Paulo!!", "  spaces   and\ttabs ", "UPPER lower 123",
+      "", "...", "a")
+    val got = samples.toDF("text")
+      .select(Extractor.normalizeCol(org.apache.spark.sql.functions.col("text")))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == samples.map(TextNorm.normalize))
+  }
+
+  test("per-turn text equality under stable (conv_id, turn_idx) ordering") {
+    val ds = Transcripts.generate(spark, nConvs = 120, partitions = 7)
+    val rows = ds.orderBy("conv_id", "turn_idx").collect()
+    rows.foreach { t =>
+      val conv = t.conv_id.stripPrefix("conv-").toLong
+      val expect = Transcripts.turn(conv, t.turn_idx)
+      assert(t == expect, s"row mismatch at ${t.conv_id}/${t.turn_idx}")
+    }
+    // dense turn indexes per conversation
+    val perConv = rows.groupBy(_.conv_id)
+    perConv.foreach { case (_, ts) =>
+      assert(ts.map(_.turn_idx).sorted.toSeq == (0 until ts.length))
+    }
+  }
+
+  test("triple parity: P and R >= 0.95 (exact match expected) vs oracle") {
+    val ds = Transcripts.generate(spark, nConvs = 150, partitions = 5).cache()
+    val got: Set[Triple] =
+      Extractor.triples(ds.toDF(), repartitionBy = Some(4)).as[Triple].collect().toSet
+    val want: Set[Triple] = ds.collect().flatMap(OracleExtractor.turnTriples).toSet
+    val tp = (got intersect want).size.toDouble
+    val precision = tp / got.size
+    val recall = tp / want.size
+    assert(precision >= 0.95, s"precision $precision")
+    assert(recall >= 0.95, s"recall $recall")
+    assert(got == want, "expected exact parity between extractor and oracle")
+  }
+
+  test("extraction emits deterministic per-turn triple order") {
+    val ds = Transcripts.generate(spark, nConvs = 30, partitions = 3).cache()
+    val a = Extractor.triples(ds.toDF(), Some(3)).as[Triple].collect()
+      .groupBy(t => (t.conv_id, t.turn_idx)).map { case (k, v) => k -> v.toSeq }
+    ds.collect().foreach { t =>
+      val want = OracleExtractor.turnTriples(t)
+      val gotSeq = a.getOrElse((t.conv_id, t.turn_idx), Seq.empty)
+      assert(gotSeq == want, s"order mismatch at ${t.conv_id}/${t.turn_idx}")
+    }
+  }
+}

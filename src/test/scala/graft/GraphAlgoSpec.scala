@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.algo.{Bfs, ConnectedComponents, Eigenvector, PageRank, Triangles}
+
+class GraphAlgoSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  // John/Rome fixture as raw-name edges (hashing orthogonal to the kernels)
+  val fixtureEdges = Seq(
+    ("/John", "john@example.org", "foaf:mbox"),
+    ("/John", "john@doe.org", "foaf:mbox"),
+    ("/John", "/Researcher", "rdf:type"),
+    ("/John", "/Rome", "ex:birthPlace"),
+    ("/Giacomo", "/Rome", "ex:areaOfWork"),
+    ("/Piero", "/Rome", "ex:areaOfWork"),
+    ("/Rome", "\"Roma\"@it", "foaf:name")).toDF("src", "dst", "label")
+
+  test("G3 weak connected components: fixture is one component of 8") {
+    val cc = ConnectedComponents.run(fixtureEdges)
+    val sizes = ConnectedComponents.componentSizes(cc).collect()
+    assert(sizes.length == 1 && sizes.head.getLong(1) == 8)
+    assert(ConnectedComponents.largestComponent(cc).count() == 8)
+  }
+
+  test("G3 CC on two disjoint chains + isolated pair") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")).toDF("src", "dst")
+    val cc = ConnectedComponents.run(e)
+    val m = cc.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("a") == "a" && m("b") == "a" && m("c") == "a" && m("d") == "a")
+    assert(m("x") == "x" && m("y") == "x")
+  }
+
+  test("G4 pseudo-diameter on the fixture (directed, double sweep)") {
+    val (d, s, t) = Bfs.pseudoDiameter(fixtureEdges, "/John")
+    assert(d == 2 && s == "/John" && t == "\"Roma\"@it")
+  }
+
+  test("G1 pagerank fixture fixpoint (graph-tool unnormalized convention)") {
+    val pr = PageRank.run(fixtureEdges)
+    val m = pr.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(m("/John") - 0.15) < 1e-6)
+    assert(math.abs(m("/Rome") - 0.436875) < 1e-6)
+    assert(math.abs(m("\"Roma\"@it") - 0.52134375) < 1e-6)
+    val top = PageRank.maxRank(pr).head()
+    assert(top.getString(1) == "\"Roma\"@it")
+  }
+
+  test("G2 eigenvector on a 3-cycle: uniform 1/sqrt(3)") {
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val ev = Eigenvector.run(cyc)
+    ev.collect().foreach(r => assert(math.abs(r.getDouble(1) - 1.0 / math.sqrt(3)) < 1e-5))
+    assert(Eigenvector.maxVertex(ev).head().getString(0) == "c") // tie -> greatest
+  }
+
+  test("A14-adjacent: reciprocity on a partial 2-cycle") {
+    val e = Seq(("a", "b", "x"), ("b", "a", "x"), ("b", "c", "x")).toDF("src", "dst", "label")
+    val r = graft.measures.CoreMeasures.reciprocity(e).head().getDouble(0)
+    assert(math.abs(r - 2.0 / 3) < 1e-12)
+  }
+
+  test("G5 triangles + clustering on K3 plus a pendant edge") {
+    // triangle a-b-c plus edge c-d (undirected view)
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")).toDF("src", "dst")
+    val m = Triangles.clustering(e).head()
+    assert(m.getAs[Long]("triangle_count") == 1L)
+    // degrees: a2 b2 c3 d1 -> triplets = 1+1+3+0 = 5; global = 3/5
+    assert(math.abs(m.getAs[Double]("global_clustering") - 0.6) < 1e-12)
+    // local: a=1, b=1, c=2*1/(3*2)=1/3, d=0 -> mean = (1+1+1/3+0)/4
+    assert(math.abs(m.getAs[Double]("local_clustering") - (1 + 1 + 1.0 / 3) / 4) < 1e-12)
+  }
+
+  test("fixture has no triangles") {
+    val m = Triangles.clustering(fixtureEdges).head()
+    assert(m.getAs[Long]("triangle_count") == 0L)
+  }
+}
