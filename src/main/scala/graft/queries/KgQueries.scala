@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.measures.{CoreMeasures, Degrees, DistributionMeasures, RdfMeasures}
+import QueryUtil._
+
+/** Driver-checked queries for the lodcc measure inventory (SURVEY.md §2.4),
+  * each paired with a DuckDB oracle over the same parquet tables.
+  */
+object KgQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_basic" -> ((s, dir) =>
+      roundDoubles(CoreMeasures.basic(liEdges(s, dir)))),
+
+    "kg_degree_stats" -> ((s, dir) =>
+      roundDoubles(CoreMeasures.degreeStats(Degrees.degrees(liEdges(s, dir))))),
+
+    "kg_max_vertices" -> ((s, dir) =>
+      CoreMeasures.maxDegreeVertices(Degrees.degrees(liEdges(s, dir)))),
+
+    "kg_gini" -> ((s, dir) => {
+      val deg = Degrees.degrees(liEdges(s, dir)).cache()
+      val g = DistributionMeasures.gini(Degrees.histogram(deg, "deg"))
+        .withColumnRenamed("gini", "gini_coefficient")
+      val gi = DistributionMeasures.gini(Degrees.histogram(deg, "in_deg"))
+        .withColumnRenamed("gini", "gini_coefficient_in_degree")
+      val go = DistributionMeasures.gini(Degrees.histogram(deg, "out_deg"))
+        .withColumnRenamed("gini", "gini_coefficient_out_degree")
+      roundDoubles(g.crossJoin(gi).crossJoin(go))
+    }),
+
+    "kg_hindex" -> ((s, dir) => {
+      val deg = Degrees.degrees(liEdges(s, dir)).cache()
+      val hu = DistributionMeasures.hIndex(Degrees.histogram(deg, "deg"))
+        .withColumnRenamed("h_index", "h_index_u")
+      val hd = DistributionMeasures.hIndex(Degrees.histogram(deg, "in_deg"))
+        .withColumnRenamed("h_index", "h_index_d")
+      hu.crossJoin(hd)
+    }),
+
+    "kg_rdf_out" -> ((s, dir) => {
+      val e = liEdges(s, dir).cache()
+      roundDoubles(RdfMeasures.outDegree(e)
+        .crossJoin(RdfMeasures.partialOutDegree(e))
+        .crossJoin(RdfMeasures.labelledOutDegree(e))
+        .crossJoin(RdfMeasures.directOutDegree(e)))
+    }),
+
+    "kg_rdf_in" -> ((s, dir) => {
+      val e = liEdges(s, dir).cache()
+      roundDoubles(RdfMeasures.inDegree(e)
+        .crossJoin(RdfMeasures.partialInDegree(e))
+        .crossJoin(RdfMeasures.labelledInDegree(e))
+        .crossJoin(RdfMeasures.directInDegree(e)))
+    }),
+
+    "kg_rdf_pred" -> ((s, dir) => {
+      val e = liEdges(s, dir).cache()
+      roundDoubles(RdfMeasures.predicateDegree(e)
+        .crossJoin(RdfMeasures.predicateInDegree(e))
+        .crossJoin(RdfMeasures.predicateOutDegree(e)))
+    }),
+
+    "kg_rdf_ratio" -> ((s, dir) =>
+      roundDoubles(RdfMeasures.subjectObjectRatio(liEdges(s, dir)))),
+
+    "kg_predicate_lists" -> ((s, dir) =>
+      roundDoubles(RdfMeasures.predicateLists(liEdges(s, dir)))),
+
+    "kg_typed" -> ((s, dir) =>
+      roundDoubles(RdfMeasures.typedMeasures(liEdges(s, dir), "p0"))),
+
+    "kg_reciprocity" -> ((s, dir) =>
+      roundDoubles(CoreMeasures.reciprocity(liEdges(s, dir)))),
+
+    "kg_centralization" -> ((s, dir) =>
+      roundDoubles(CoreMeasures.centralizationDegree(liEdges(s, dir)))),
+
+    "kg_degree_distribution" -> ((s, dir) =>
+      Degrees.degrees(liEdges(s, dir))
+        .groupBy(col("deg").as("degree")).agg(count(lit(1)).as("cnt"))
+        .orderBy("degree")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "kg_basic" ->
+      s"""$edgesCte
+         |SELECT n.n, m.m,
+         |  CAST(round(2.0*m.m/n.n, 6) AS DOUBLE) AS mean_degree,
+         |  CAST(round(CAST(m.m AS DOUBLE)/(n.n*n.n), 6) AS DOUBLE) AS fill_overall,
+         |  m.m - m.mu AS parallel_edges,
+         |  m.mu AS m_unique,
+         |  CAST(round(CAST(m.mu AS DOUBLE)/(n.n*n.n), 6) AS DOUBLE) AS fill
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges) q) w) n,
+         |     (SELECT CAST(count(*) AS BIGINT) AS m,
+         |             CAST((SELECT count(*) FROM (SELECT DISTINCT src, dst FROM edges) x) AS BIGINT) AS mu
+         |      FROM edges) m""".stripMargin,
+
+    "kg_degree_stats" ->
+      s"""$edgesCte
+         |SELECT
+         |  max(deg) AS max_degree, max(in_deg) AS max_in_degree, max(out_deg) AS max_out_degree,
+         |  CAST(round(sum(deg)/(count(*)-1.0)/count(*), 6) AS DOUBLE) AS mean_degree_centrality,
+         |  CAST(round(sum(in_deg)/(count(*)-1.0)/count(*), 6) AS DOUBLE) AS mean_in_degree_centrality,
+         |  CAST(round(sum(out_deg)/(count(*)-1.0)/count(*), 6) AS DOUBLE) AS mean_out_degree_centrality,
+         |  CAST(round(max(deg)/(count(*)-1.0), 6) AS DOUBLE) AS max_degree_centrality,
+         |  CAST(round(max(in_deg)/(count(*)-1.0), 6) AS DOUBLE) AS max_in_degree_centrality,
+         |  CAST(round(max(out_deg)/(count(*)-1.0), 6) AS DOUBLE) AS max_out_degree_centrality,
+         |  CAST(round(stddev_pop(in_deg), 6) AS DOUBLE) AS stddev_in_degree,
+         |  CAST(round(stddev_pop(in_deg)/(sum(in_deg)/CAST(count(*) AS DOUBLE))*100, 6) AS DOUBLE) AS coefficient_variation_in_degree,
+         |  CAST(round(stddev_pop(out_deg), 6) AS DOUBLE) AS stddev_out_degree,
+         |  CAST(round(stddev_pop(out_deg)/(sum(out_deg)/CAST(count(*) AS DOUBLE))*100, 6) AS DOUBLE) AS coefficient_variation_out_degree,
+         |  CAST(round(var_pop(in_deg), 6) AS DOUBLE) AS var_in_degree,
+         |  CAST(round(var_pop(out_deg), 6) AS DOUBLE) AS var_out_degree
+         |FROM degv""".stripMargin,
+
+    "kg_max_vertices" ->
+      s"""$edgesCte
+         |SELECT
+         |  (SELECT vertex FROM degv ORDER BY deg DESC, vertex DESC LIMIT 1) AS max_degree_vertex,
+         |  (SELECT vertex FROM degv ORDER BY in_deg DESC, vertex DESC LIMIT 1) AS max_in_degree_vertex,
+         |  (SELECT vertex FROM degv ORDER BY out_deg DESC, vertex DESC LIMIT 1) AS max_out_degree_vertex""".stripMargin,
+
+    "kg_gini" ->
+      s"""$edgesCte
+         |SELECT
+         |  ${giniSql("deg", "gini_coefficient")},
+         |  ${giniSql("in_deg", "gini_coefficient_in_degree")},
+         |  ${giniSql("out_deg", "gini_coefficient_out_degree")}""".stripMargin,
+
+    "kg_hindex" ->
+      s"""$edgesCte
+         |SELECT
+         |  ${hIndexSql("deg", "h_index_u")},
+         |  ${hIndexSql("in_deg", "h_index_d")}""".stripMargin,
+
+    "kg_rdf_out" ->
+      s"""$edgesCte
+         |SELECT
+         |  (SELECT max(c) FROM (SELECT count(*) AS c FROM edges GROUP BY src) t) AS max_out_degree,
+         |  (SELECT CAST(round(avg(c), 6) AS DOUBLE) FROM (SELECT count(*) AS c FROM edges GROUP BY src) t) AS mean_out_degree,
+         |  (SELECT max(c) FROM (SELECT count(*) AS c FROM edges GROUP BY src, label) t) AS max_partial_out_degree,
+         |  (SELECT CAST(round(avg(c), 6) AS DOUBLE) FROM (SELECT count(*) AS c FROM edges GROUP BY src, label) t) AS mean_partial_out_degree,
+         |  (SELECT max(c) FROM (SELECT count(DISTINCT label) AS c FROM edges GROUP BY src) t) AS max_labelled_out_degree,
+         |  (SELECT CAST(round(avg(c), 6) AS DOUBLE) FROM (SELECT count(DISTINCT label) AS c FROM edges GROUP BY src) t) AS mean_labelled_out_degree,
+         |  (SELECT max(c) FROM (SELECT count(DISTINCT dst) AS c FROM edges GROUP BY src) t) AS max_direct_out_degree,
+         |  (SELECT CAST(round(avg(c), 6) AS DOUBLE) FROM (SELECT count(DISTINCT dst) AS c FROM edges GROUP BY src) t) AS mean_direct_out_degree""".stripMargin,
+
+    "kg_rdf_in" ->
+      s"""$edgesCte
+         |SELECT
+         |  (SELECT max(c) FROM (SELECT count(*) AS c FROM edges GROUP BY dst) t) AS max_in_degree,
+         |  (SELECT CAST(round(avg(c), 6) AS DOUBLE) FROM (SELECT count(*) AS c FROM edges GROUP BY dst) t) AS mean_in_degree,
+         |  (SELECT max(c) FROM (SELECT count(*) AS c FROM edges GROUP BY dst, label) t) AS max_partial_in_degree,
+         |  (SELECT CAST(round(avg(c), 6) AS DOUBLE) FROM (SELECT count(*) AS c FROM edges GROUP BY dst, label) t) AS mean_partial_in_degree,
+         |  (SELECT max(c) FROM (SELECT count(DISTINCT label) AS c FROM edges GROUP BY dst) t) AS max_labelled_in_degree,
+         |  (SELECT CAST(round(avg(c), 6) AS DOUBLE) FROM (SELECT count(DISTINCT label) AS c FROM edges GROUP BY dst) t) AS mean_labelled_in_degree,
+         |  (SELECT max(c) FROM (SELECT count(DISTINCT src) AS c FROM edges GROUP BY dst) t) AS max_direct_in_degree,
+         |  (SELECT CAST(round(avg(c), 6) AS DOUBLE) FROM (SELECT count(DISTINCT src) AS c FROM edges GROUP BY dst) t) AS mean_direct_in_degree""".stripMargin,
+
+    "kg_rdf_pred" ->
+      s"""$edgesCte
+         |SELECT
+         |  (SELECT max(c) FROM (SELECT count(*) AS c FROM edges GROUP BY label) t) AS max_predicate_degree,
+         |  (SELECT CAST(round(avg(c), 6) AS DOUBLE) FROM (SELECT count(*) AS c FROM edges GROUP BY label) t) AS mean_predicate_degree,
+         |  (SELECT max(c) FROM (SELECT count(DISTINCT src) AS c FROM edges GROUP BY label) t) AS max_predicate_in_degree,
+         |  (SELECT CAST(round(avg(c), 6) AS DOUBLE) FROM (SELECT count(DISTINCT src) AS c FROM edges GROUP BY label) t) AS mean_predicate_in_degree,
+         |  (SELECT max(c) FROM (SELECT count(DISTINCT dst) AS c FROM edges GROUP BY label) t) AS max_predicate_out_degree,
+         |  (SELECT CAST(round(avg(c), 6) AS DOUBLE) FROM (SELECT count(DISTINCT dst) AS c FROM edges GROUP BY label) t) AS mean_predicate_out_degree""".stripMargin,
+
+    "kg_rdf_ratio" ->
+      s"""$edgesCte
+         |SELECT CAST(round(
+         |  CAST((SELECT count(*) FROM (SELECT DISTINCT src FROM edges INTERSECT SELECT DISTINCT dst FROM edges) t) AS DOUBLE) /
+         |  (SELECT count(*) FROM (SELECT src FROM edges UNION SELECT dst FROM edges) t), 6) AS DOUBLE)
+         |AS subject_object_ratio""".stripMargin,
+
+    "kg_predicate_lists" ->
+      s"""$edgesCte,
+         |lists AS (SELECT src, string_agg(label, ',' ORDER BY label) AS plist FROM edges GROUP BY src),
+         |perlist AS (SELECT plist, CAST(count(*) AS BIGINT) AS c FROM lists GROUP BY plist)
+         |SELECT
+         |  CAST(round(1.0 - CAST(count(*) AS DOUBLE)/sum(c), 6) AS DOUBLE) AS repeated_predicate_lists,
+         |  CAST(max(c) AS BIGINT) AS max_predicate_list_degree,
+         |  CAST(round(CAST(sum(c) AS DOUBLE)/count(*), 6) AS DOUBLE) AS mean_predicate_list_degree
+         |FROM perlist""".stripMargin,
+
+    "kg_typed" ->
+      s"""$edgesCte
+         |SELECT
+         |  (SELECT CAST(count(DISTINCT dst) AS BIGINT) FROM edges WHERE label = 'p0') AS distinct_classes,
+         |  (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM edges WHERE label = 'p0') AS typed_subjects,
+         |  CAST(round(
+         |    CAST((SELECT count(DISTINCT src) FROM edges WHERE label = 'p0') AS DOUBLE) /
+         |    (SELECT count(DISTINCT src) FROM edges), 6) AS DOUBLE) AS ratio_of_typed_subjects""".stripMargin,
+
+    "kg_reciprocity" ->
+      s"""$edgesCte
+         |SELECT CAST(round(
+         |  CAST((SELECT count(*) FROM edges e
+         |        WHERE EXISTS (SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)) AS DOUBLE) /
+         |  (SELECT count(*) FROM edges), 6) AS DOUBLE) AS reciprocity""".stripMargin,
+
+    "kg_centralization" ->
+      s"""$edgesCte,
+         |sdeg AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT src AS v FROM (SELECT DISTINCT src, dst FROM edges) e
+         |    UNION ALL
+         |    SELECT dst AS v FROM (SELECT DISTINCT src, dst FROM edges) e
+         |  ) u GROUP BY v)
+         |SELECT CAST(round(
+         |  CAST(count(*)*max(deg) - sum(deg) AS DOUBLE) / ((count(*)-1)*(count(*)-2)), 6) AS DOUBLE)
+         |AS centralization_degree FROM sdeg""".stripMargin,
+
+    "kg_degree_distribution" ->
+      s"""$edgesCte
+         |SELECT deg AS degree, CAST(count(*) AS BIGINT) AS cnt
+         |FROM degv GROUP BY deg ORDER BY degree""".stripMargin,
+  )
+}
