@@ -47,6 +47,33 @@ object PageRank {
     ranks
   }
 
+  /** Fixed-iteration variant (deterministic, no convergence action) — used
+    * by the driver-checked oracle queries where DuckDB runs the identical
+    * unrolled recurrence.
+    */
+  def runFixed(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val links = edges.select("src", "dst")
+      .join(edges.groupBy("src").agg(count(lit(1)).as("out_deg")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vertices = edges.select(col("src").as("vertex"))
+      .union(edges.select(col("dst").as("vertex")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = vertices.withColumn("rank", lit(1.0 - damping)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = links
+        .join(ranks, links("src") === ranks("vertex"))
+        .groupBy(col("dst").as("vertex"))
+        .agg(sum(col("rank") / col("out_deg")).as("c"))
+      ranks = vertices.join(contribs, Seq("vertex"), "left_outer")
+        .select(col("vertex"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    links.unpersist(false)
+    ranks
+  }
+
   /** (max_pagerank, max_pagerank_vertex) — argmax, ties resolved like lodcc's
     * `>=` scan (`centrality.py:88-98`: later vertex wins) pinned here as
     * greatest vertex id among ties.

@@ -84,11 +84,12 @@ object Gazetteer {
     aliasToId.keys.toSeq.sortBy(a => (-a.length, a))
 
   /** Regex alternation over normalized aliases with word boundaries. Applied
-    * to normalized text, so the pattern itself contains only [a-z0-9 ] and
-    * needs no quoting beyond \b anchors.
+    * to normalized text, so the pattern contains only [a-z0-9 ] and needs no
+    * quoting at all — keeping it free of Java-only constructs (\Q...\E) makes
+    * the same pattern valid in RE2 engines (DuckDB oracle twin queries).
     */
   val pattern: String =
-    normalizedAliases.map(a => java.util.regex.Pattern.quote(a)).mkString("\\b(", "|", ")\\b")
+    normalizedAliases.mkString("\\b(", "|", ")\\b")
 
   val people: IndexedSeq[Entity] = entities.filter(_.etype == "Person").toIndexedSeq
   val places: IndexedSeq[Entity] = entities.filter(_.etype == "Place").toIndexedSeq

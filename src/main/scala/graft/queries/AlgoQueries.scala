@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.algo.{Bfs, ConnectedComponents, PageRank}
+import graft.graph.GraphTables
+import graft.sources.NTriples
+import QueryUtil._
+
+/** Driver-checked queries for the iterative / join-shaped operators
+  * (SURVEY.md §2.3 J1-J4, §2.6 G1-G4, §2.8, S4/S11). Oracles use recursive
+  * CTEs (CC, BFS), an unrolled 10-step recurrence (PageRank) and plain
+  * multiway joins (BGP) in DuckDB.
+  */
+object AlgoQueries {
+
+  /** Small two-layer graph: customers (folded mod 40) -> nations -> regions.
+    * 70 vertices — sized so the DuckDB recursive-closure oracle is cheap.
+    */
+  private def smallEdges(s: SparkSession, dir: String): DataFrame = {
+    val nation = s.read.parquet(s"$dir/nation.parquet")
+      .select(concat(lit("n"), col("n_nationkey").cast("string")).as("src"),
+        concat(lit("r"), col("n_regionkey").cast("string")).as("dst"))
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+      .select(concat(lit("c"), (col("c_custkey") % 40).cast("string")).as("src"),
+        concat(lit("n"), col("c_nationkey").cast("string")).as("dst"))
+    nation.union(cust)
+  }
+
+  private val smallCte: String =
+    """WITH ge AS (
+      |  SELECT 'n' || n_nationkey AS src, 'r' || n_regionkey AS dst FROM nation
+      |  UNION ALL
+      |  SELECT 'c' || (c_custkey % 40) AS src, 'n' || c_nationkey AS dst FROM customer
+      |)""".stripMargin
+
+  /** Unrolled PageRank recurrence r0..r10 (graft.algo.PageRank.runFixed). */
+  private def pagerankSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT v.v AS vertex, CAST(0.15 + 0.85 * coalesce(c.s, 0) AS DOUBLE) AS rank
+         |  FROM verts v LEFT JOIN (
+         |    SELECT l.dst AS d, sum(r.rank / l.outd) AS s
+         |    FROM links l JOIN r${k - 1} r ON r.vertex = l.src
+         |    GROUP BY l.dst) c ON c.d = v.v)""".stripMargin
+    }.mkString(",\n")
+    s"""$smallCte,
+       |links AS (
+       |  SELECT e.src, e.dst, o.outd FROM ge e
+       |  JOIN (SELECT src, CAST(count(*) AS DOUBLE) AS outd FROM ge GROUP BY src) o ON o.src = e.src),
+       |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM ge UNION ALL SELECT dst FROM ge) u),
+       |r0 AS (SELECT v AS vertex, CAST(0.15 AS DOUBLE) AS rank FROM verts),
+       |$steps
+       |SELECT vertex, CAST(round(rank, 6) AS DOUBLE) AS rank FROM r$iters ORDER BY vertex""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_cc" -> ((s, dir) =>
+      ConnectedComponents.componentSizes(ConnectedComponents.run(smallEdges(s, dir)))
+        .orderBy("component")),
+
+    "kg_pagerank" -> ((s, dir) =>
+      PageRank.runFixed(smallEdges(s, dir), iters = 10)
+        .select(col("vertex"), round(col("rank"), 6).as("rank"))
+        .orderBy("vertex")),
+
+    "kg_bfs" -> ((s, dir) =>
+      Bfs.distances(smallEdges(s, dir), "c1").orderBy("vertex")),
+
+    "kg_bgp" -> ((s, dir) => {
+      // BGP: ?a -p1-> ?b -p2-> ?c, ?a -p3-> ?c (triangle template, J1)
+      val e = liEdges(s, dir)
+      val e1 = e.where(col("label") === "p1").select(col("src").as("a"), col("dst").as("b"))
+      val e2 = e.where(col("label") === "p2").select(col("src").as("b2"), col("dst").as("c"))
+      val e3 = e.where(col("label") === "p3").select(col("src").as("a3"), col("dst").as("c3"))
+      e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .where(col("a") =!= col("b") && col("b") =!= col("c") && col("a") =!= col("c"))
+        .agg(count(lit(1)).as("matches"))
+    }),
+
+    "kg_sample" -> ((s, dir) => {
+      // deterministic hash sampling (SA1 analog, reproducible across engines)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .where((col("l_orderkey") * 2654435761L + col("l_linenumber")) % 100 < 10)
+      li.select(concat(lit("v"), (col("l_orderkey") % 4096).cast("string")).as("src"))
+        .agg(count(lit(1)).as("sample_m"), count_distinct(col("src")).as("sample_srcs"))
+    }),
+
+    "kg_nt_parse" -> ((s, dir) => {
+      val part = s.read.parquet(s"$dir/part.parquet")
+      val lines = part.select(concat(
+        lit("<s:"), col("p_partkey").cast("string"),
+        lit("> <p:"), (col("p_size") % 5).cast("string"),
+        lit("> \""), col("p_name"), lit("\" .")).as("value"))
+        .union(part.select(concat(lit("# comment: "), col("p_name")).as("value")))
+        .union(part.select(lit("").as("value")))
+      NTriples.parse(lines).agg(
+        count(lit(1)).as("triples"),
+        count_distinct(col("subj")).as("subjects"),
+        sum(octet_length(col("obj"))).as("obj_bytes"))
+    }),
+
+    "kg_vertex_ids" -> ((s, dir) => {
+      val e = liEdges(s, dir)
+      val ids = GraphTables.vertexIds(e)
+      val ie = GraphTables.intEdges(e, ids)
+      val idStats = ids.agg(
+        count(lit(1)).as("n_vertices"), max("vid").as("max_vid"))
+      val checksum = ie.agg(sum(col("src_id") * 7 + col("dst_id") * 3).as("checksum"))
+      idStats.crossJoin(checksum)
+    }),
+
+    "kg_hashed_edges" -> ((s, dir) => {
+      // hashing is a bijection on this value set: counts survive xxh64_hex
+      val t = liEdges(s, dir).select(
+        col("src").as("subj"), col("label").as("pred"), col("dst").as("obj"))
+      val hashed = GraphTables.edges(t)
+      hashed.agg(
+        count(lit(1)).as("m"),
+        count_distinct(col("src")).as("n_src"),
+        count_distinct(col("src"), col("dst")).as("n_pairs"),
+        count_distinct(col("label")).as("n_labels"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "kg_cc" ->
+      s"""$smallCte,
+         |ue AS (SELECT src AS a, dst AS b FROM ge UNION SELECT dst, src FROM ge),
+         |verts AS (SELECT DISTINCT a AS v FROM ue)
+         |SELECT component, CAST(count(*) AS BIGINT) AS size FROM (
+         |  WITH RECURSIVE reach(v, r) AS (
+         |    SELECT v, v FROM verts
+         |    UNION
+         |    SELECT reach.v, ue.b FROM reach JOIN ue ON ue.a = reach.r
+         |  )
+         |  SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
+         |) comp GROUP BY component ORDER BY component""".stripMargin,
+
+    "kg_pagerank" -> pagerankSql(10),
+
+    "kg_bfs" ->
+      s"""$smallCte
+         |SELECT vertex, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |  WITH RECURSIVE d(vertex, dist) AS (
+         |    SELECT 'c1', 0
+         |    UNION ALL
+         |    SELECT e.dst, d.dist + 1 FROM d JOIN ge e ON e.src = d.vertex WHERE d.dist < 10
+         |  ) SELECT vertex, dist FROM d
+         |) t GROUP BY vertex ORDER BY vertex""".stripMargin,
+
+    "kg_bgp" ->
+      s"""$edgesCte
+         |SELECT CAST(count(*) AS BIGINT) AS matches
+         |FROM (SELECT src AS a, dst AS b FROM edges WHERE label = 'p1') e1
+         |JOIN (SELECT src AS b, dst AS c FROM edges WHERE label = 'p2') e2 USING (b)
+         |JOIN (SELECT src AS a, dst AS c FROM edges WHERE label = 'p3') e3 USING (a, c)
+         |WHERE a <> b AND b <> c AND a <> c""".stripMargin,
+
+    "kg_sample" ->
+      """SELECT CAST(count(*) AS BIGINT) AS sample_m,
+        |       CAST(count(DISTINCT 'v' || (l_orderkey % 4096)) AS BIGINT) AS sample_srcs
+        |FROM lineitem
+        |WHERE (l_orderkey * 2654435761 + l_linenumber) % 100 < 10""".stripMargin,
+
+    "kg_nt_parse" ->
+      """WITH lines AS (
+        |  SELECT '<s:' || p_partkey || '> <p:' || (p_size % 5) || '> "' || p_name || '" .' AS value FROM part
+        |  UNION ALL SELECT '# comment: ' || p_name FROM part
+        |  UNION ALL SELECT '' FROM part
+        |), parsed AS (
+        |  SELECT l[1] AS subj, l[2] AS pred, array_to_string(l[3:len(l)-1], ' ') AS obj
+        |  FROM (SELECT string_split(value, ' ') AS l FROM lines
+        |        WHERE trim(value) <> '' AND NOT starts_with(value, '# ')) t
+        |  WHERE len(l) >= 4
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS triples,
+        |       CAST(count(DISTINCT subj) AS BIGINT) AS subjects,
+        |       CAST(sum(strlen(obj)) AS BIGINT) AS obj_bytes
+        |FROM parsed""".stripMargin,
+
+    "kg_vertex_ids" ->
+      s"""$edgesCte,
+         |ids AS (
+         |  SELECT v AS vhash, CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS vid
+         |  FROM (SELECT DISTINCT src AS v FROM edges UNION SELECT dst FROM edges) w)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ids) AS n_vertices,
+         |  (SELECT CAST(max(vid) AS BIGINT) FROM ids) AS max_vid,
+         |  (SELECT CAST(sum(si.vid * 7 + di.vid * 3) AS BIGINT)
+         |   FROM edges e JOIN ids si ON si.vhash = e.src JOIN ids di ON di.vhash = e.dst) AS checksum""".stripMargin,
+
+    "kg_hashed_edges" ->
+      s"""$edgesCte
+         |SELECT CAST(count(*) AS BIGINT) AS m,
+         |       CAST(count(DISTINCT src) AS BIGINT) AS n_src,
+         |       CAST((SELECT count(*) FROM (SELECT DISTINCT src, dst FROM edges) p) AS BIGINT) AS n_pairs,
+         |       CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+         |FROM edges""".stripMargin,
+  )
+}
