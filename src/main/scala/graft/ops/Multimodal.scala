@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata.
+  *
+  * The decode step is STUBBED (this container has no image/audio codecs) —
+  * `fakeDecode` derives deterministic pseudo-metadata from the bytes, but the
+  * Spark-side shape is real: binary column in, per-partition batch iteration
+  * via mapPartitions (the Scala analog of mapInPandas batch processing),
+  * typed metadata schema out, partitioning preserved. Swapping `fakeDecode`
+  * for a real codec is the only change needed in production.
+  */
+object Multimodal {
+
+  case class MediaMeta(
+      media_id: Long,
+      byte_len: Long,
+      first_byte: Int,
+      width: Int,
+      height: Int,
+      checksum: Long)
+
+  /** STUB decode: deterministic pseudo width/height/checksum from bytes.
+    * A real implementation would hand `bytes` to a codec here.
+    */
+  def fakeDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
+    // position-weighted byte sum: deterministic and SQL-mirrorable
+    var cs = 0L
+    var i = 0
+    while (i < bytes.length) { cs += (bytes(i) & 0xff).toLong * (i + 1); i += 1 }
+    MediaMeta(
+      media_id = id,
+      byte_len = bytes.length.toLong,
+      first_byte = if (bytes.nonEmpty) bytes(0) & 0xff else -1,
+      width = (bytes.length % 640).toInt,
+      height = (bytes.length % 480).toInt,
+      checksum = cs)
+  }
+
+  /** (media_id long, payload binary) -> typed metadata Dataset. Batch shape:
+    * one decode call per row inside mapPartitions — codec state can be
+    * hoisted per-partition (the expensive part for real codecs).
+    */
+  def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition setup would init the codec once here
+        it.map { case (id, bytes) => fakeDecode(id, bytes) }
+      }
+  }
+
+  /** Column-only metadata (no decode): cheap pushdown-friendly projection. */
+  def byteMeta(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      octet_length(col("payload")).cast("long").as("byte_len"),
+      col("payload").getItem(0).cast("int").bitwiseAND(lit(255)).as("first_byte"))
+}

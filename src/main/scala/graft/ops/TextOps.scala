@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, shingling, portable 60/31-bit hashes, SimHash, winnowing
+  * fingerprints, quality features, marker-based language ID.
+  *
+  * The "portable hash" convention (md5-prefix as int) is engine-agnostic on
+  * purpose: the DuckDB oracle twin computes the identical value, so every
+  * dedup/fingerprint operator is cross-checkable end to end. At production
+  * scale you would swap `portableHash64` for xxhash64 — a one-line change —
+  * since only hash *stability within a run* matters to these algorithms.
+  */
+object TextOps {
+
+  /** Tokens on runs of spaces (document corpus is space-normalized). */
+  def tokens(text: Column): Column = split(text, " +")
+
+  /** 60-bit non-negative hash: first 15 hex chars of md5, base-16 decoded. */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 31-bit variant for modular arithmetic without overflow. */
+  def portableHash31(c: Column): Column =
+    portableHash64(c).bitwiseAND(lit(0x7fffffffL))
+
+  /** (doc_id, pos, shingle): the size-k+1 sliding `k`-token shingles per
+    * document (empty when the document has fewer than k tokens).
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val t = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val idx = when(size(col("toks")) >= k, sequence(lit(0), size(col("toks")) - k))
+      .otherwise(typedlit(Seq.empty[Int]))
+    t.select(col(idCol), posexplode(
+      transform(idx, i => array_join(slice(col("toks"), i + 1, lit(k)), " ")))
+      .as(Seq("pos", "shingle")))
+  }
+
+  /** Per-document 16-bit SimHash over token multiset. Bit j is set iff the
+    * sum over tokens of (2*bit_j(h31(token)) - 1) is > 0.
+    */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", portableHash31(col("tok")))
+    val bits = toks.select(col(idCol), col("h"),
+      explode(sequence(lit(0), lit(15))).as("j"))
+      .withColumn("contrib", expr("(shiftright(h, j) & 1) * 2 - 1"))
+    bits.groupBy(idCol, "j").agg(sum("contrib").as("s"))
+      .withColumn("bit",
+        when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
+      .groupBy(idCol).agg(sum("bit").as("simhash"))
+  }
+
+  /** Winnowing-style fingerprints: k-shingle hashes, min over a window of
+    * `w` consecutive shingles, distinct mins per document.
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, k)
+      .withColumn("h", portableHash64(col("shingle")))
+    val win = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    sh.withColumn("wmin", min("h").over(win))
+      .select(col(idCol), col("wmin").as("fingerprint"))
+      .distinct()
+  }
+
+  /** Per-document quality features: chars, tokens, type-token ratio,
+    * stopword ratio (over `stopwords`).
+    */
+  def quality(docs: DataFrame, idCol: String, textCol: String,
+              stopwords: Seq[String]): DataFrame = {
+    val sw = typedlit(stopwords)
+    docs.select(
+      col(idCol),
+      length(col(textCol)).as("chars"),
+      size(tokens(col(textCol))).as("n_tokens"),
+      size(array_distinct(tokens(col(textCol)))).as("n_distinct"),
+      size(filter(tokens(col(textCol)), t => array_contains(sw, t))).as("n_stop"))
+      .withColumn("ttr", try_divide(col("n_distinct").cast("double"), col("n_tokens")))
+      .withColumn("stop_ratio", try_divide(col("n_stop").cast("double"), col("n_tokens")))
+  }
+
+  /** Marker-token language scoring: predicted language = the one whose
+    * marker set has the highest token hit count (ties/zero -> "und").
+    */
+  def languageId(docs: DataFrame, idCol: String, textCol: String,
+                 markers: Map[String, Seq[String]]): DataFrame = {
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      val m = typedlit(ms)
+      size(filter(tokens(col(textCol)), t => array_contains(m, t))).as(s"score_$lang")
+    }
+    val df = docs.select((col(idCol) +: scored.toIndexedSeq): _*)
+    val langs = markers.keys.toSeq.sorted
+    // argmax with deterministic tie-break = lexicographically first language;
+    // all-zero -> "und"
+    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    df.withColumn("predicted",
+      when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und")))
+      .select(col(idCol), col("predicted"))
+  }
+}

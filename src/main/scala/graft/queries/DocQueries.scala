@@ -1,0 +1,379 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.streaming.EventWindows
+import QueryUtil.roundDoubles
+
+/** Driver-checked queries for the training-data pipeline operators
+  * (dedup family, similarity search, text analysis, multimodal plumbing,
+  * streaming windows) over the documents/embeddings/events tables.
+  */
+object DocQueries {
+
+  /** Marker-token sets shared verbatim by the Spark op and the SQL twin. */
+  val Markers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das"),
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("el", "la"),
+    "fr" -> Seq("le", "la"),
+    "zh" -> Seq("zh_marker_token"))
+
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_dedup_exact" -> ((s, dir) => {
+      val g = Dedup.exactGroups(docs(s, dir), "doc_id", "text")
+      val total = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      total.crossJoin(g.agg(
+        count(lit(1)).as("n_unique"),
+        count(when(col("group_size") > 1, 1)).as("dup_groups"),
+        coalesce(sum(col("group_size") - 1), lit(0L)).as("dup_rows"),
+        sum("keep_id").as("keeper_checksum")))
+    }),
+
+    "doc_shingle_jaccard" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 3, minJ = 0.0)
+      roundDoubles(pairs.agg(
+        count(lit(1)).as("cand_pairs"),
+        count(when(col("jaccard") >= 0.2, 1)).as("pairs_ge_02"),
+        coalesce(round(max("jaccard"), 6), lit(0.0)).as("max_jaccard")))
+    }),
+
+    "doc_minhash_lsh" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", shingleK = 3)
+      val cands = Dedup.minhashLshCandidates(sigs, rowsPerBand = 2)
+      cands.agg(
+        count(lit(1)).as("cand_pairs"),
+        coalesce(sum(col("a") * 31 + col("b")), lit(0L)).as("pair_checksum"))
+    }),
+
+    "doc_simhash" -> ((s, dir) => {
+      val sh = TextOps.simhash16(docs(s, dir), "doc_id", "text")
+      val pairs = Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      sh.agg(
+        count_distinct(col("simhash")).as("distinct_simhash"),
+        sum("simhash").as("sum_simhash"))
+        .crossJoin(pairs.agg(count(lit(1)).as("pairs_hamming_le3")))
+    }),
+
+    "doc_langid" -> ((s, dir) => {
+      val pred = TextOps.languageId(docs(s, dir), "doc_id", "text", Markers)
+      docs(s, dir).join(pred, "doc_id")
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "predicted")
+    }),
+
+    "doc_quality" -> ((s, dir) => {
+      val q = TextOps.quality(docs(s, dir), "doc_id", "text", Stopwords)
+      roundDoubles(docs(s, dir).join(q, "doc_id")
+        .groupBy("source").agg(
+          count(lit(1)).as("docs"),
+          round(avg("chars"), 6).as("avg_chars"),
+          round(avg("n_tokens"), 6).as("avg_tokens"),
+          round(avg("ttr"), 6).as("avg_ttr"),
+          round(avg("stop_ratio"), 6).as("avg_stop_ratio"))
+        .orderBy("source"))
+    }),
+
+    "doc_tokens" -> ((s, dir) => {
+      val toks = docs(s, dir).select(explode(TextOps.tokens(col("text"))).as("tok"))
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      // deterministic top token: max count, ties -> lexicographically SMALLEST
+      val topDet = counts
+        .orderBy(col("c").desc, col("tok").asc).limit(1)
+        .select(col("tok").as("top_token"), col("c").as("top_token_cnt"))
+      val totals = counts.agg(
+        sum("c").as("total_tokens"),
+        count(lit(1)).as("distinct_tokens"))
+      val avgT = docs(s, dir)
+        .select(size(TextOps.tokens(col("text"))).as("n"))
+        .agg(round(avg("n"), 6).as("avg_tokens"))
+      totals.crossJoin(avgT).crossJoin(topDet)
+    }),
+
+    "doc_fingerprint" -> ((s, dir) => {
+      val fp = TextOps.fingerprints(docs(s, dir), "doc_id", "text", k = 3, w = 4)
+      val perDoc = fp.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val sharing = fp.groupBy("fingerprint").agg(count_distinct(col("doc_id")).as("d"))
+      roundDoubles(fp.agg(
+        count(lit(1)).as("total_fps"),
+        count_distinct(col("fingerprint")).as("distinct_fps"))
+        .crossJoin(perDoc.agg(round(avg("c"), 6).as("avg_fp_per_doc")))
+        .crossJoin(sharing.agg(max("d").as("max_docs_sharing"))))
+    }),
+
+    "emb_knn" -> ((s, dir) =>
+      Similarity.bruteForceTopK(embs(s, dir), "vec_id", "embedding",
+        col("vec_id") < 20, k = 3)
+        .orderBy("query_id", "rank")),
+
+    "emb_dedup_cosine" -> ((s, dir) => {
+      val pairs = Dedup.embeddingCosinePairs(embs(s, dir), "vec_id", "embedding",
+        "label", minCos = 0.2)
+      pairs.agg(
+        count(lit(1)).as("pairs_cos_ge_02"),
+        coalesce(sum(col("a") + col("b")), lit(0L)).as("pair_checksum"))
+    }),
+
+    "emb_lsh_buckets" -> ((s, dir) => {
+      val b = Similarity.lshBucket(embs(s, dir), "vec_id", "embedding", planes = 8)
+      val sizes = b.groupBy("bucket").agg(count(lit(1)).as("c"))
+      sizes.agg(
+        count(lit(1)).as("n_buckets"),
+        max("c").as("max_bucket"),
+        sum(col("c") * col("c")).as("sum_bucket_sq"))
+    }),
+
+    "mm_decode_meta" -> ((s, dir) => {
+      val media = docs(s, dir).select(
+        col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+      val meta = Multimodal.decodeMeta(media).toDF()
+      roundDoubles(meta
+        .join(docs(s, dir).select(col("doc_id").as("media_id"), col("source")), "media_id")
+        .groupBy("source").agg(
+          count(lit(1)).as("n"),
+          sum("byte_len").as("total_bytes"),
+          round(avg("width"), 6).as("avg_width"),
+          round(avg("height"), 6).as("avg_height"),
+          sum("checksum").as("checksum"))
+        .orderBy("source"))
+    }),
+
+    "ev_window" -> ((s, dir) =>
+      EventWindows.tumblingCounts(s, dir)
+        .orderBy("win_start", "event_type")),
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private val shCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, array_to_string(l[i:i+2], ' ') AS shingle
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t,
+      |         LATERAL unnest(generate_series(1, greatest(len(l) - 2, 0))) g(i)
+      |  ) q
+      |)""".stripMargin
+
+  private val shPosCte =
+    """shp AS (
+      |  SELECT doc_id, i AS pos,
+      |         ('0x' || substr(md5(array_to_string(l[i:i+2], ' ')), 1, 15))::BIGINT AS h
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t,
+      |       LATERAL unnest(generate_series(1, greatest(len(l) - 2, 0))) g(i)
+      |)""".stripMargin
+
+  private def markerScore(lang: String): String = {
+    val set = Markers(lang).map(m => s"'$m'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), x -> x IN ($set)))"
+  }
+
+  private val langCase: String = {
+    val langs = Markers.keys.toSeq.sorted
+    val gm = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val whens = langs.map(l => s"WHEN s_$l = gm THEN '$l'").mkString(" ")
+    s"CASE WHEN gm = 0 THEN 'und' $whens END"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "doc_dedup_exact" ->
+      """WITH g AS (SELECT md5(text) AS th, min(doc_id) AS keep_id, count(*) AS c
+        |           FROM documents GROUP BY 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_unique,
+        |       CAST(count(*) FILTER (WHERE c > 1) AS BIGINT) AS dup_groups,
+        |       CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS dup_rows,
+        |       CAST(sum(keep_id) AS BIGINT) AS keeper_checksum
+        |FROM g""".stripMargin,
+
+    "doc_shingle_jaccard" ->
+      s"""WITH $shCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT p.a, p.b,
+         |         CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) AS jaccard
+         |  FROM pairs p JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b)
+         |SELECT CAST(count(*) AS BIGINT) AS cand_pairs,
+         |       CAST(count(*) FILTER (WHERE jaccard >= 0.2) AS BIGINT) AS pairs_ge_02,
+         |       CAST(coalesce(round(max(jaccard), 6), 0.0) AS DOUBLE) AS max_jaccard
+         |FROM j""".stripMargin,
+
+    "doc_minhash_lsh" -> {
+      val coeffRows = Dedup.MinhashCoeffs.zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      s"""WITH $shCte,
+         |hs AS (SELECT DISTINCT doc_id,
+         |              ('0x' || substr(md5(shingle), 1, 15))::BIGINT & 2147483647 AS h
+         |       FROM sh),
+         |coeffs(i, a, b) AS (VALUES $coeffRows),
+         |sigs AS (
+         |  SELECT doc_id AS id, i, min((a * h + b) % ${Dedup.MinhashPrime}) AS mh
+         |  FROM hs, coeffs GROUP BY 1, 2),
+         |banded AS (
+         |  SELECT id, i // 2 AS band,
+         |         string_agg(i || ':' || mh, ',' ORDER BY i || ':' || mh) AS sig
+         |  FROM sigs GROUP BY 1, 2),
+         |cands AS (
+         |  SELECT DISTINCT x.id AS a, y.id AS b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.id < y.id)
+         |SELECT CAST(count(*) AS BIGINT) AS cand_pairs,
+         |       CAST(coalesce(sum(a * 31 + b), 0) AS BIGINT) AS pair_checksum
+         |FROM cands""".stripMargin
+    },
+
+    "doc_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT & 2147483647 AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t),
+        |bits AS (
+        |  SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS s
+        |  FROM toks, LATERAL unnest(generate_series(0, 15)) g(j)
+        |  GROUP BY 1, 2),
+        |simhashes AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, band, (simhash >> (band * 4)) & 15 AS key, simhash
+        |  FROM simhashes, LATERAL unnest(generate_series(0, 3)) g(band)),
+        |cands AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT * FROM cands WHERE bit_count(xor(sa, sb)) <= 3)
+        |SELECT (SELECT CAST(count(DISTINCT simhash) AS BIGINT) FROM simhashes) AS distinct_simhash,
+        |       (SELECT CAST(sum(simhash) AS BIGINT) FROM simhashes) AS sum_simhash,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS pairs_hamming_le3""".stripMargin,
+
+    "doc_langid" -> {
+      val langs = Markers.keys.toSeq.sorted
+      val scoreCols = langs.map(l => s"${markerScore(l)} AS s_$l").mkString(",\n         ")
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |         $scoreCols
+         |  FROM documents),
+         |g AS (SELECT *, greatest(${langs.map(l => s"s_$l").mkString(", ")}) AS gm FROM scored)
+         |SELECT lang, $langCase AS predicted, CAST(count(*) AS BIGINT) AS cnt
+         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "doc_quality" -> {
+      val sw = Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH q AS (
+         |  SELECT source,
+         |         length(text) AS chars,
+         |         len(string_split(text, ' ')) AS n_tokens,
+         |         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         |         len(list_filter(string_split(text, ' '), x -> x IN ($sw))) AS n_stop
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+         |       CAST(round(avg(chars), 6) AS DOUBLE) AS avg_chars,
+         |       CAST(round(avg(n_tokens), 6) AS DOUBLE) AS avg_tokens,
+         |       CAST(round(avg(CAST(n_distinct AS DOUBLE) / n_tokens), 6) AS DOUBLE) AS avg_ttr,
+         |       CAST(round(avg(CAST(n_stop AS DOUBLE) / n_tokens), 6) AS DOUBLE) AS avg_stop_ratio
+         |FROM q GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "doc_tokens" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+        |SELECT
+        |  (SELECT CAST(sum(c) AS BIGINT) FROM counts) AS total_tokens,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM counts) AS distinct_tokens,
+        |  (SELECT CAST(round(avg(len(string_split(text, ' '))), 6) AS DOUBLE) FROM documents) AS avg_tokens,
+        |  (SELECT tok FROM counts ORDER BY c DESC, tok ASC LIMIT 1) AS top_token,
+        |  (SELECT CAST(c AS BIGINT) FROM counts ORDER BY c DESC, tok ASC LIMIT 1) AS top_token_cnt""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""WITH $shPosCte,
+         |wm AS (
+         |  SELECT doc_id,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM shp),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wm),
+         |perdoc AS (SELECT doc_id, count(*) AS c FROM fps GROUP BY doc_id),
+         |sharing AS (SELECT fp, count(DISTINCT doc_id) AS d FROM fps GROUP BY fp)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM fps) AS total_fps,
+         |  (SELECT CAST(count(DISTINCT fp) AS BIGINT) FROM fps) AS distinct_fps,
+         |  (SELECT CAST(round(avg(c), 6) AS DOUBLE) FROM perdoc) AS avg_fp_per_doc,
+         |  (SELECT CAST(max(d) AS BIGINT) FROM sharing) AS max_docs_sharing""".stripMargin,
+
+    "emb_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |         CAST(round(list_dot_product(qv, v) /
+        |               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS DOUBLE) AS sim
+        |  FROM q JOIN e ON vec_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, sim
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "emb_dedup_cosine" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pairs AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b
+        |  FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+        |  WHERE list_dot_product(x.v, y.v) /
+        |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.2)
+        |SELECT CAST(count(*) AS BIGINT) AS pairs_cos_ge_02,
+        |       CAST(coalesce(sum(a + b), 0) AS BIGINT) AS pair_checksum
+        |FROM pairs""".stripMargin,
+
+    "emb_lsh_buckets" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |         list_dot_product(v, list_transform(generate_series(0, 63),
+        |           d -> CAST((p * 37 + d * 11) % 13 - 6 AS DOUBLE))) AS dp
+        |  FROM e, LATERAL unnest(generate_series(0, 7)) g(p)),
+        |buckets AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |sizes AS (SELECT bucket, count(*) AS c FROM buckets GROUP BY bucket)
+        |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |       CAST(max(c) AS BIGINT) AS max_bucket,
+        |       CAST(sum(c * c) AS BIGINT) AS sum_bucket_sq
+        |FROM sizes""".stripMargin,
+
+    "mm_decode_meta" ->
+      """WITH meta AS (
+        |  SELECT doc_id, source,
+        |         strlen(text) AS byte_len,
+        |         strlen(text) % 640 AS width,
+        |         strlen(text) % 480 AS height,
+        |         (SELECT coalesce(sum(ascii(substr(text, i, 1)) * i), 0)
+        |          FROM unnest(generate_series(1, strlen(text))) g(i)) AS checksum
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+        |       CAST(round(avg(width), 6) AS DOUBLE) AS avg_width,
+        |       CAST(round(avg(height), 6) AS DOUBLE) AS avg_height,
+        |       CAST(sum(checksum) AS BIGINT) AS checksum
+        |FROM meta GROUP BY source ORDER BY source""".stripMargin,
+
+    "ev_window" ->
+      """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start,
+        |       event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(round(sum(value), 6) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

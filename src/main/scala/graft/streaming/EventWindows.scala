@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface: tumbling-window aggregation over the events
+  * stream with a watermark (SURVEY.md §2.10 — not in the reference, which is
+  * strictly batch; added as the engine's streaming path).
+  *
+  * For driver-checked correctness the same parquet input is replayed as a
+  * bounded stream into a memory sink (`processAllAvailable`), which must
+  * produce exactly the batch GROUP BY — that equivalence is the oracle.
+  */
+object EventWindows {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling 5-minute window counts/sums by event_type, streamed from the
+    * parquet file(s) at `path` and drained synchronously. Returns the final
+    * table (win_start epoch-seconds, event_type, n, sum_value).
+    */
+  def tumblingCounts(spark: SparkSession, dir: String, glob: String = "events.parquet",
+                     windowSec: Int = 300): DataFrame = {
+    val name = "evwin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // the file stream source monitors a DIRECTORY; select the events file(s)
+    // within it via pathGlobFilter
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", glob).parquet(dir)
+    val agg = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), s"$windowSec seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), round(col("sum_value"), 6).as("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    spark.table(name)
+  }
+}
