@@ -64,6 +64,35 @@ object Pipeline {
     parts.map(longf).reduce(_ union _)
   }
 
+  /** Checkpointed, resumable run (north rule §7.3): every stage commits a
+    * snapshot with per-partition lineage; a rerun (e.g. after a kill) skips
+    * every stage whose output snapshot already exists for its input
+    * snapshot, recomputing only what was lost.
+    */
+  def runResumable(spark: SparkSession, root: String, nConvs: Long,
+                   partitions: Int = 32): DataFrame = {
+    val io = new graft.io.TableIO(spark, root)
+    val srcSnap = s"synthetic-v1-n$nConvs"
+    val turns = io.resumeOrCompute("transcripts", "synthesize", srcSnap) {
+      graft.io.Transcripts.generate(spark, nConvs, partitions).toDF()
+    }
+    val turnsSnap = s"transcripts@${io.latest("transcripts").get.id}"
+    val triples = io.resumeOrCompute("triples", "extract", turnsSnap) {
+      Extractor.triples(turns, Some(partitions))
+    }
+    val triplesSnap = s"triples@${io.latest("triples").get.id}"
+    val edges = io.resumeOrCompute("edges", "materialize", triplesSnap) {
+      GraphTables.edges(triples)
+    }
+    io.resumeOrCompute("vertices", "materialize", triplesSnap) {
+      GraphTables.vertices(triples)
+    }
+    val edgesSnap = s"edges@${io.latest("edges").get.id}"
+    io.resumeOrCompute("measures", "analyze", edgesSnap) {
+      measures(edges)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val nConvs = if (args.nonEmpty) args(0).toLong else 500L
     val spark = SparkSession.builder()
@@ -75,11 +104,24 @@ object Pipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val turns = graft.io.Transcripts.generate(spark, nConvs).toDF().cache()
-    val (triples, edges) = build(turns)
-    val e = edges.cache()
-    println(s"turns=${turns.count()} triples=${triples.count()} edges=${e.count()}")
-    measures(e).orderBy("measure").show(60, truncate = false)
+    args.drop(1).headOption match {
+      case Some(root) =>
+        // checkpointed, resumable run: Pipeline <nConvs> <tableRoot>
+        val t0 = System.nanoTime()
+        val m = runResumable(spark, root, nConvs)
+        println(f"measures=${m.count()} wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+        val io = new graft.io.TableIO(spark, root)
+        Seq("transcripts", "triples", "edges", "vertices", "measures").foreach { t =>
+          val s = io.latest(t).get
+          println(s"  $t: snap=${s.id} rows=${s.rowCount} wall_ms=${s.wallMs} input=${s.inputSnapshot}")
+        }
+      case None =>
+        val turns = graft.io.Transcripts.generate(spark, nConvs).toDF().cache()
+        val (triples, edges) = build(turns)
+        val e = edges.cache()
+        println(s"turns=${turns.count()} triples=${triples.count()} edges=${e.count()}")
+        measures(e).orderBy("measure").show(60, truncate = false)
+    }
     spark.stop()
   }
 }

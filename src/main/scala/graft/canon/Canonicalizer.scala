@@ -1,0 +1,95 @@
+package graft.canon
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.algo.ConnectedComponents
+import graft.extract.Extractor
+import graft.ops.{Dedup, TextOps}
+
+/** Entity canonicalization (north rule): MinHash-LSH blocking over character
+  * shingles of the normalized surface form, Jaccard verification, then the
+  * iterative connected-components kernel merges transitive alias clusters.
+  * Canonical id = lexicographically smallest member surface.
+  *
+  * Blocking keeps the pair space proportional to band-bucket collisions —
+  * never |surfaces|^2 — and CC is the same large-star/small-star kernel used
+  * for lodcc's largest-component measure (build once, use twice,
+  * SURVEY.md §2.6 G3).
+  */
+object Canonicalizer {
+
+  /** Character k-shingles of the normalized surface. */
+  def charShingles(surfaces: DataFrame, k: Int): DataFrame = {
+    val norm = Extractor.normalizeCol(col("surface"))
+    surfaces
+      .withColumn("norm", norm)
+      .withColumn("sh_idx",
+        when(length(col("norm")) >= k, sequence(lit(1), length(col("norm")) - (k - 1)))
+          .otherwise(array(lit(1))))
+      .select(col("surface"), col("norm"),
+        explode(col("sh_idx")).as("i"))
+      .select(col("surface"), col("norm").substr(col("i"), lit(k)).as("shingle"))
+      .distinct()
+  }
+
+  /** surfaces(surface) -> (surface, canonical).
+    *
+    * Edges between surfaces: (a) identical normalized form; (b) MinHash-LSH
+    * band collision verified at Jaccard >= minJ over char shingles.
+    */
+  def canonicalize(surfaces: DataFrame, shingleK: Int = 3,
+                   rowsPerBand: Int = 2, minJ: Double = 0.5): DataFrame = {
+    val s = surfaces.select(col("surface")).distinct().cache()
+    val withNorm = s.withColumn("norm", Extractor.normalizeCol(col("surface")))
+
+    // (a) exact edges through the normalized form
+    val exactEdges = withNorm.as("x")
+      .join(withNorm.as("y"),
+        col("x.norm") === col("y.norm") && col("x.surface") < col("y.surface"))
+      .select(col("x.surface").as("src"), col("y.surface").as("dst"))
+
+    // (b) near-dup edges: minhash signatures over char shingles
+    val sh = charShingles(s, shingleK)
+      .select(col("surface").as("id"), TextOps.portableHash31(col("shingle")).as("h"))
+      .distinct()
+    val spark = s.sparkSession
+    import spark.implicits._
+    val coeffs = Dedup.MinhashCoeffs.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }.toDF("i", "a", "b")
+    val sigs = sh.crossJoin(broadcast(coeffs))
+      .withColumn("hv", (col("a") * col("h") + col("b")) % Dedup.MinhashPrime)
+      .groupBy("id", "i").agg(min("hv").as("mh"))
+    val cands = Dedup.minhashLshCandidates(sigs, rowsPerBand)
+
+    // verify candidates at Jaccard >= minJ over the char shingle sets
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val verified = cands
+      .join(sh.select(col("id").as("a"), col("h")), "a")
+      .join(sh.select(col("id").as("b"), col("h")), Seq("b", "h")) // equi-join = set intersection
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("a"), col("sz").as("sa")), "a")
+      .join(sizes.select(col("id").as("b"), col("sz").as("sb")), "b")
+      .where(col("inter").cast("double") / (col("sa") + col("sb") - col("inter")) >= minJ)
+      .select(col("a").as("src"), col("b").as("dst"))
+
+    val edges = exactEdges.union(verified)
+    val cc = ConnectedComponents.run(edges)
+    // surfaces that collected no edge are their own canonical form
+    s.join(cc.withColumnRenamed("vertex", "surface"), Seq("surface"), "left_outer")
+      .select(col("surface"), coalesce(col("component"), col("surface")).as("canonical"))
+  }
+
+  /** Rewrite a triples table through the canonical map on subj and obj. */
+  def applyTo(triples: DataFrame, mapping: DataFrame): DataFrame = {
+    val m = broadcast(mapping)
+    triples
+      .join(m.select(col("surface").as("subj"), col("canonical").as("subj_c")), Seq("subj"), "left_outer")
+      .join(m.select(col("surface").as("obj"), col("canonical").as("obj_c")), Seq("obj"), "left_outer")
+      .select(
+        col("conv_id"), col("turn_idx"),
+        coalesce(col("subj_c"), col("subj")).as("subj"),
+        col("pred"),
+        coalesce(col("obj_c"), col("obj")).as("obj"))
+  }
+}

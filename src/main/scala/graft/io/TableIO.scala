@@ -1,0 +1,124 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-committed table storage with per-partition lineage — Iceberg-
+  * shaped semantics (snapshot ids, atomic manifest swap, resume from last
+  * committed snapshot) over plain Parquet directories, because no Iceberg
+  * runtime jar exists in this environment (SURVEY.md §7.0). The interface is
+  * format-pluggable: a production binding replaces `commit`/`read` bodies
+  * with `df.writeTo(table)` / `spark.read.format("iceberg")` and keeps every
+  * caller unchanged.
+  *
+  * Layout: <root>/<table>/snap-<id>/data/  (parquet parts)
+  *         <root>/<table>/snap-<id>/lineage/  (parquet parts)
+  *         <root>/<table>/_manifest.json          (atomic rename commit)
+  *
+  * Crash safety: data and lineage are fully written BEFORE the manifest is
+  * swapped; a killed job leaves an orphan snap dir and the previous manifest
+  * intact, so the rerun recomputes only the uncommitted stage (lodcc analog:
+  * `.gt.gz` reuse, builder.py:38-42; `do_respect_existing_file`,
+  * to_ntriples.sh:38-53).
+  */
+class TableIO(spark: SparkSession, root: String) {
+
+  private val fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  case class Snapshot(id: Long, stage: String, inputSnapshot: String,
+                      rowCount: Long, wallMs: Long)
+
+  private def manifestPath(table: String) = new Path(s"$root/$table/_manifest.json")
+
+  private def parseManifest(s: String): Option[Snapshot] = {
+    def field(k: String): Option[String] =
+      s"""\"$k\"\\s*:\\s*(\"([^\"]*)\"|[0-9]+)""".r.findFirstMatchIn(s)
+        .map(m => Option(m.group(2)).getOrElse(m.group(1)))
+    for {
+      id <- field("id"); st <- field("stage"); in <- field("input_snapshot")
+      rc <- field("row_count"); wm <- field("wall_ms")
+    } yield Snapshot(id.toLong, st, in, rc.toLong, wm.toLong)
+  }
+
+  def latest(table: String): Option[Snapshot] = {
+    val p = manifestPath(table)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        parseManifest(new String(bytes, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
+  def read(table: String): DataFrame = {
+    val snap = latest(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for table '$table'"))
+    spark.read.parquet(s"$root/$table/snap-${snap.id}/data")
+  }
+
+  def readLineage(table: String): DataFrame = {
+    val snap = latest(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for table '$table'"))
+    spark.read.parquet(s"$root/$table/snap-${snap.id}/lineage")
+  }
+
+  /** Write df as the next snapshot of `table` with per-partition lineage
+    * rows (stage, partition id, input snapshot, row count, wall ms), then
+    * atomically swap the manifest. Returns the committed snapshot.
+    */
+  def commit(table: String, df: DataFrame, stage: String,
+             inputSnapshot: String): Snapshot = {
+    val t0 = System.nanoTime()
+    val id = latest(table).map(_.id + 1).getOrElse(0L)
+    val dataDir = s"$root/$table/snap-$id/data"
+    df.write.mode("overwrite").parquet(dataDir)
+
+    // per-output-partition lineage from the written files (metadata-only scan)
+    val written = spark.read.parquet(dataDir)
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val lineage = written
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("row_count"))
+      .select(
+        lit(stage).as("stage"),
+        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("file")) - 1).as("partition_id"),
+        lit(inputSnapshot).as("input_snapshot"),
+        col("row_count"),
+        lit(wallMs).as("wall_ms"))
+    lineage.write.mode("overwrite").parquet(s"$root/$table/snap-$id/lineage")
+    val rowCount = written.count()
+
+    val json =
+      s"""{"table": "$table", "id": $id, "stage": "$stage", "input_snapshot": "$inputSnapshot",
+         | "row_count": $rowCount, "wall_ms": $wallMs}""".stripMargin
+    val tmp = new Path(s"$root/$table/_manifest.json.tmp")
+    val out = fs.create(tmp, true)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
+    val dst = manifestPath(table)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"manifest swap failed for $table")
+    Snapshot(id, stage, inputSnapshot, rowCount, wallMs)
+  }
+
+  /** Resume-or-compute: if `table` already has a committed snapshot produced
+    * from `inputSnapshot`, read it (skip the stage); otherwise run `compute`
+    * and commit the result. This is the per-stage checkpoint/resume contract
+    * of the north rule.
+    */
+  def resumeOrCompute(table: String, stage: String, inputSnapshot: String)
+                     (compute: => DataFrame): DataFrame =
+    latest(table) match {
+      case Some(snap) if snap.inputSnapshot == inputSnapshot && snap.stage == stage =>
+        read(table)
+      case _ =>
+        commit(table, compute, stage, inputSnapshot)
+        read(table)
+    }
+}

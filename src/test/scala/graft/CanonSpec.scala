@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.canon.Canonicalizer
+import graft.extract.Gazetteer
+
+class CanonSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("canonicalization merges case/punctuation alias variants, keeps entities apart") {
+    val surfaces = Gazetteer.entities.flatMap(_.aliases).toDF("surface")
+    val mapping = Canonicalizer.canonicalize(surfaces).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // exact-normalization merges must always hold
+    assert(mapping("Ada Lovelace") == mapping("ada lovelace"))
+    assert(mapping("Ada Lovelace") == mapping("Ada-Lovelace"))
+    assert(mapping("Zurich") == mapping("Zürich"))
+    assert(mapping("NEW YORK") == mapping("New York"))
+    assert(mapping("web_search") == mapping("web-search"))
+
+    // distinct entities must not merge
+    def ent(alias: String): String =
+      Gazetteer.aliasToId(graft.extract.TextNorm.normalize(alias))
+    val byCanonical = mapping.toSeq.groupBy(_._2).values
+    byCanonical.foreach { group =>
+      val entities = group.map { case (surface, _) => ent(surface) }.distinct
+      assert(entities.size == 1,
+        s"cluster mixes entities: ${group.map(_._1).mkString(", ")}")
+    }
+  }
+
+  test("near-dup minhash edges merge initial-style variants of long names") {
+    val surfaces = Seq("Margaret Hamilton", "margaret hamilton", "MARGARET HAMILTON",
+      "Margaret  Hamilton", "Tyrell Corp", "Tyrell Corporation").toDF("surface")
+    val mapping = Canonicalizer.canonicalize(surfaces, minJ = 0.4).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mapping("Margaret Hamilton") == mapping("MARGARET HAMILTON"))
+    assert(mapping("Margaret Hamilton") == mapping("Margaret  Hamilton"))
+    assert(mapping("Tyrell Corp") == mapping("Tyrell Corporation"))
+    assert(mapping("Margaret Hamilton") != mapping("Tyrell Corp"))
+  }
+
+  test("applyTo rewrites triples through the canonical map") {
+    val triples = Seq(
+      ("c1", 0, "Ada Lovelace", "p", "Zürich"),
+      ("c1", 1, "ada lovelace", "p", "Zurich"))
+      .toDF("conv_id", "turn_idx", "subj", "pred", "obj")
+    val mapping = Canonicalizer.canonicalize(
+      Seq("Ada Lovelace", "ada lovelace", "Zürich", "Zurich").toDF("surface"))
+    val out = Canonicalizer.applyTo(triples, mapping).collect()
+    assert(out.map(_.getString(2)).distinct.length == 1)
+    assert(out.map(_.getString(4)).distinct.length == 1)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.TableIO
+
+class TableIOSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  def freshRoot(): String =
+    Files.createTempDirectory("graft-tableio").toString
+
+  test("commit/read/latest round trip with lineage") {
+    val root = freshRoot()
+    val io = new TableIO(spark, root)
+    val df = Seq.tabulate(100)(i => (i.toLong, s"row$i")).toDF("id", "v").repartition(4)
+    val snap = io.commit("t1", df, "stage-a", "input@0")
+    assert(snap.id == 0 && snap.rowCount == 100)
+    assert(io.read("t1").count() == 100)
+    val lin = io.readLineage("t1").collect()
+    assert(lin.map(_.getAs[Long]("row_count")).sum == 100)
+    assert(lin.forall(_.getAs[String]("stage") == "stage-a"))
+    assert(lin.forall(_.getAs[String]("input_snapshot") == "input@0"))
+    // second commit bumps the snapshot id
+    val snap2 = io.commit("t1", df.limit(10), "stage-a", "input@1")
+    assert(snap2.id == 1)
+    assert(io.read("t1").count() == 10)
+  }
+
+  test("resumeOrCompute skips recompute for same input snapshot") {
+    val root = freshRoot()
+    val io = new TableIO(spark, root)
+    var computeCalls = 0
+    def compute() = { computeCalls += 1; Seq((1, "a"), (2, "b")).toDF("id", "v") }
+    io.resumeOrCompute("t2", "s", "in@0")(compute())
+    io.resumeOrCompute("t2", "s", "in@0")(compute())
+    assert(computeCalls == 1)
+    // new input snapshot -> recompute
+    io.resumeOrCompute("t2", "s", "in@1")(compute())
+    assert(computeCalls == 2)
+  }
+
+  test("orphan snapshot dir (simulated kill) does not corrupt reads") {
+    val root = freshRoot()
+    val io = new TableIO(spark, root)
+    io.commit("t3", Seq((1, "x")).toDF("id", "v"), "s", "in@0")
+    // simulate a killed job: data written for snap-1 but manifest never swapped
+    Seq((9, "orphan")).toDF("id", "v").write.parquet(s"$root/t3/snap-99/data")
+    assert(io.read("t3").collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(io.latest("t3").get.id == 0)
+  }
+
+  test("full pipeline resume: second run reuses every snapshot") {
+    val root = freshRoot()
+    val m1 = graft.Pipeline.runResumable(spark, root, nConvs = 20, partitions = 3)
+    val c1 = m1.count()
+    val io = new TableIO(spark, root)
+    val idsBefore = Seq("transcripts", "triples", "edges", "vertices", "measures")
+      .map(t => t -> io.latest(t).get.id)
+    val m2 = graft.Pipeline.runResumable(spark, root, nConvs = 20, partitions = 3)
+    assert(m2.count() == c1)
+    val idsAfter = Seq("transcripts", "triples", "edges", "vertices", "measures")
+      .map(t => t -> io.latest(t).get.id)
+    assert(idsBefore == idsAfter, "resume must not produce new snapshots")
+  }
+}
