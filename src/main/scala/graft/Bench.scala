@@ -1,23 +1,93 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark (driver-run -> BENCH_r{N}.json).
+  *
+  * Emits ONE JSON line: the driver-checked query suite timings on
+  * SPARK_GRAFT_SF_DIR, plus the north-rule scaling evidence — the SAME
+  * extraction+materialization job on the SAME pre-materialized input at
+  * local[8] and local[32] (shuffle partitions held at 32, JVM warm-up
+  * discarded), reported as turns/sec at both levels and
+  * efficiency = (t8/t32)/4 (BASELINE.md protocol).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def newSession(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** The timed job: read turns parquet -> extract triples -> hashed edge
+    * table -> count (forces the full distributed computation).
+    */
+  private def extractionJob(spark: SparkSession, turnsPath: String): Long = {
+    val turns = spark.read.parquet(turnsPath)
+    val (_, edges) = Pipeline.build(turns, partitions = 32)
+    edges.count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "1000000").toLong
+    val turnsPath = s"/tmp/graft-bench-turns-$benchConvs"
+
+    // ---- scaling evidence: same job, same input, 8 vs 32 cores ----------
+    // protocol (BASELINE.md): fixed shuffle partitions, identical input,
+    // 2 discarded warm-ups (JIT + page cache) then min of 3 timed runs
+    var nTurns = 0L
+    locally {
+      val s = newSession(32)
+      if (!new java.io.File(turnsPath).exists()) {
+        graft.io.Transcripts.generate(s, benchConvs, 64).toDF()
+          .write.mode("overwrite").parquet(turnsPath)
+      }
+      nTurns = s.read.parquet(turnsPath).count()
+      s.stop()
+    }
+    def timed(cores: Int): Double = {
+      val spark = newSession(cores)
+      (1 to 2).foreach(_ => extractionJob(spark, turnsPath)) // warm-up, discarded
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        extractionJob(spark, turnsPath)
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.stop()
+      times.min
+    }
+    val t8 = timed(8)
+    val t32 = timed(32)
+    val turns8 = nTurns / t8
+    val turns32 = nTurns / t32
+    val efficiency = (t8 / t32) / 4.0
+
+    // ---- driver-checked query suite on sfDir ----------------------------
+    val spark = newSession(32)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val total = results.map(_._2).sum
+
+    val qs = (results ++ Seq(
+      "extract_turns_per_sec_p8" -> turns8,
+      "extract_turns_per_sec_p32" -> turns32,
+      "extract_secs_p8" -> t8,
+      "extract_secs_p32" -> t32,
+      "scaling_efficiency_8_to_32" -> efficiency,
+      "bench_turns" -> nTurns.toDouble))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

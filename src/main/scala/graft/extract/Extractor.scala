@@ -34,11 +34,20 @@ object Extractor {
   private val idTypeMap: Column =
     typedlit(Gazetteer.byId.map { case (id, e) => id -> e.etype })
 
-  /** Ordered distinct canonical entity ids mentioned in a text column. */
+  /** Ordered distinct canonical entity ids mentioned in a text column —
+    * reference implementation via regex + map lookup (kept because the
+    * DuckDB oracle twin can replay it verbatim).
+    */
   def mentionIds(text: Column): Column =
     array_distinct(transform(
       regexp_extract_all(normalizeCol(text), lit(Gazetteer.pattern), lit(1)),
       m => element_at(aliasIdMap, m)))
+
+  /** Production path: fused single-pass scanner expression (identical
+    * output, pinned by ExtractorSpec; ~O(len) and codegen-resident vs the
+    * interpreted regex/HOF pipeline).
+    */
+  def mentionIdsFast(text: Column): Column = GazetteerMentions(text)
 
   /** turns(conv_id, turn_idx, role, text, tool, ts) ->
     * triples(conv_id, turn_idx, subj, pred, obj), deterministic per-turn order.
@@ -49,10 +58,30 @@ object Extractor {
     * no shuffle after the repartition) and AQE handles downstream joins.
     */
   def triples(turns: DataFrame, repartitionBy: Option[Int] = None): DataFrame = {
-    val base = repartitionBy match {
+    val base = reorder(turns, repartitionBy)
+    // fused path: one expression call per turn + one codegen'd explode
+    base
+      .withColumn("triple", explode(ExtractTriples(
+        col("text"), col("conv_id"), col("role"), col("tool"))))
+      .select(
+        col("conv_id"), col("turn_idx"),
+        col("triple.subj").as("subj"),
+        col("triple.pred").as("pred"),
+        col("triple.obj").as("obj"))
+  }
+
+  private def reorder(turns: DataFrame, repartitionBy: Option[Int]): DataFrame =
+    repartitionBy match {
       case Some(n) => turns.repartition(n, col("conv_id")).sortWithinPartitions("conv_id", "turn_idx")
       case None    => turns
     }
+
+  /** Composed column-expression variant (regex + HOFs) — semantically
+    * identical (pinned by ExtractorSpec); retained as the cross-check
+    * implementation and for engines without the custom expressions.
+    */
+  def triplesComposed(turns: DataFrame, repartitionBy: Option[Int] = None): DataFrame = {
+    val base = reorder(turns, repartitionBy)
     val ents = mentionIds(col("text"))
 
     val withEnts = base.withColumn("ents", ents)

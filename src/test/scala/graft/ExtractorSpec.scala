@@ -44,6 +44,37 @@ class ExtractorSpec extends AnyFunSuite {
     }
   }
 
+  test("three-way mention parity: regex path == scanner expression == oracle") {
+    val ds = Transcripts.generate(spark, nConvs = 80, partitions = 4).cache()
+    val both = ds.toDF().select(
+      org.apache.spark.sql.functions.col("text"),
+      Extractor.mentionIds(org.apache.spark.sql.functions.col("text")).as("slow"),
+      Extractor.mentionIdsFast(org.apache.spark.sql.functions.col("text")).as("fast"))
+      .collect()
+    both.foreach { r =>
+      val slow = r.getSeq[String](1)
+      val fast = r.getSeq[String](2)
+      assert(slow == fast, s"mismatch on '${r.getString(0)}': $slow vs $fast")
+      assert(fast == OracleExtractor.mentions(r.getString(0)),
+        s"oracle mismatch on '${r.getString(0)}'")
+    }
+    // plus adversarial fragments
+    val tricky = Seq(
+      "", ".", "Ada", "Ada Lovelace", "ada-LOVELACE!!", "Grace M Hopper visits Zürich",
+      "TURING, Alan met A. Turing and Alan Turing", "k johnson thompson",
+      "web_search web-search Web Search", "Tyrell Corporation vs Tyrell Corp",
+      "NEW YORK new york New-York", "sao paulo São Paulo")
+    val out = tricky.toDF("text").select(
+      org.apache.spark.sql.functions.col("text"),
+      Extractor.mentionIds(org.apache.spark.sql.functions.col("text")).as("slow"),
+      Extractor.mentionIdsFast(org.apache.spark.sql.functions.col("text")).as("fast"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"tricky mismatch on '${r.getString(0)}'")
+      assert(r.getSeq[String](2) == OracleExtractor.mentions(r.getString(0)))
+    }
+  }
+
   test("triple parity: P and R >= 0.95 (exact match expected) vs oracle") {
     val ds = Transcripts.generate(spark, nConvs = 150, partitions = 5).cache()
     val got: Set[Triple] =
@@ -55,6 +86,15 @@ class ExtractorSpec extends AnyFunSuite {
     assert(precision >= 0.95, s"precision $precision")
     assert(recall >= 0.95, s"recall $recall")
     assert(got == want, "expected exact parity between extractor and oracle")
+  }
+
+  test("fused ExtractTriples == composed column pipeline, row for row") {
+    val ds = Transcripts.generate(spark, nConvs = 60, partitions = 4).cache()
+    val fused = Extractor.triples(ds.toDF(), Some(3)).as[Triple].collect()
+      .groupBy(t => (t.conv_id, t.turn_idx)).map { case (k, v) => k -> v.toSeq }
+    val composed = Extractor.triplesComposed(ds.toDF(), Some(3)).as[Triple].collect()
+      .groupBy(t => (t.conv_id, t.turn_idx)).map { case (k, v) => k -> v.toSeq }
+    assert(fused == composed)
   }
 
   test("extraction emits deterministic per-turn triple order") {

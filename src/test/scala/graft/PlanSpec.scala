@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.QueryUtil
+
+/** Physical-plan quality gates: these assert the *plan*, not the result —
+  * a correct-but-mis-planned operator fails here (scan pruning, pushdown,
+  * broadcast selection, no cartesian products in blocked ops).
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("liEdges projects only the 3 needed lineitem columns (column pruning)") {
+    val plan = planOf(QueryUtil.liEdges(spark, sf))
+    assert(plan.contains("l_orderkey"))
+    // pruned: price/discount/dates must not reach the scan
+    assert(!plan.contains("l_extendedprice") && !plan.contains("l_shipdate"))
+  }
+
+  test("filter on derived edges pushes down to the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where($"l_suppkey" === 3)
+      .select($"l_orderkey", $"l_partkey")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_suppkey"))
+  }
+
+  test("canonical map application uses a broadcast join") {
+    val triples = Seq(("c", 0, "A", "p", "B")).toDF("conv_id", "turn_idx", "subj", "pred", "obj")
+    val mapping = Seq(("A", "a")).toDF("surface", "canonical")
+    val plan = planOf(graft.canon.Canonicalizer.applyTo(triples, mapping))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
+  test("brute-force knn broadcasts the query side (no shuffle of the corpus)") {
+    val embs = Seq.tabulate(50)(i => (i.toLong, Array.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = planOf(graft.ops.Similarity.bruteForceTopK(
+      embs, "vec_id", "embedding", $"vec_id" < 2, 3))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+  }
+
+  test("extraction plan is map-only after the conv_id repartition (single exchange)") {
+    val turns = graft.io.Transcripts.generate(spark, 10, 2).toDF()
+    val plan = planOf(graft.extract.Extractor.triples(turns, Some(4)))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one shuffle, plan had $exchanges:\n${plan.take(800)}")
+  }
+
+  test("whole-stage codegen covers the extraction projection") {
+    val turns = graft.io.Transcripts.generate(spark, 10, 2).toDF()
+    val df = graft.extract.Extractor.triples(turns, Some(4))
+    df.collect() // finalize THIS plan under AQE — codegen stages appear after execution
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val tail = formatted.substring(formatted.indexOf("Final Plan") match {
+      case -1 => 0; case i => i
+    })
+    assert(tail.contains("codegen id"), formatted.take(1200))
+  }
+
+  test("dedup candidate joins are hash joins, never cartesian") {
+    val docs = Seq.tabulate(30)(i => (i.toLong, s"w$i x y z common tail tokens here"))
+      .toDF("doc_id", "text")
+    val plan = planOf(graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.1))
+    assert(!plan.contains("CartesianProduct"), plan.take(500))
+  }
+}
