@@ -16,12 +16,14 @@ object SparkEntry {
     graft.queries.KgQueries.queries ++
       graft.queries.AlgoQueries.queries ++
       graft.queries.ExtractQueries.queries ++
-      graft.queries.DocQueries.queries
+      graft.queries.DocQueries.queries ++
+      graft.queries.MoreQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.KgQueries.oracleSql ++
       graft.queries.AlgoQueries.oracleSql ++
       graft.queries.ExtractQueries.oracleSql ++
-      graft.queries.DocQueries.oracleSql
+      graft.queries.DocQueries.oracleSql ++
+      graft.queries.MoreQueries.oracleSql
 }

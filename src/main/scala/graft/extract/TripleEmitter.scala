@@ -28,19 +28,20 @@ object TripleEmitter {
   private val ConvPrefix = "conv:"
   private val ToolPrefix = "tool:"
 
-  // entity id -> (type display, "d:rel_" pred fragment) precomputed
-  private val typeOf: java.util.HashMap[String, UTF8String] = {
-    val m = new java.util.HashMap[String, UTF8String]()
-    Gazetteer.byId.foreach { case (id, e) => m.put(id, UTF8String.fromString(e.etype)) }
+  // allocation-free lookups: entity id (interned UTF8String) -> type index;
+  // type names and pair predicates pre-interned in flat arrays
+  private val typeNames: Array[String] = Gazetteer.entities.map(_.etype).distinct.toArray
+  private val typeNameU: Array[UTF8String] = typeNames.map(UTF8String.fromString)
+  private val typeIdxOf: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    Gazetteer.byId.foreach { case (id, e) =>
+      m.put(UTF8String.fromString(id), Integer.valueOf(typeNames.indexOf(e.etype)))
+    }
     m
   }
-  private val relPred: java.util.HashMap[String, UTF8String] = {
-    val m = new java.util.HashMap[String, UTF8String]()
-    val types = Gazetteer.entities.map(_.etype).distinct
-    for (a <- types; b <- types)
-      m.put(s"$a|$b", UTF8String.fromString(s"d:rel_${a.toLowerCase}_${b.toLowerCase}"))
-    m
-  }
+  private val relPredU: Array[Array[UTF8String]] =
+    typeNames.map(a => typeNames.map(b =>
+      UTF8String.fromString(s"d:rel_${a.toLowerCase}_${b.toLowerCase}")))
 
   def emit(text: UTF8String, convId: UTF8String, role: UTF8String, tool: UTF8String): ArrayData = {
     val ments = MentionScanner.scan(text)
@@ -50,7 +51,7 @@ object TripleEmitter {
     // (a) rdf:type per distinct entity, in order
     while (i < k) {
       val id = ments.getUTF8String(i)
-      out.add(InternalRow(id, RdfType, typeOf.get(id.toString)))
+      out.add(InternalRow(id, RdfType, typeNameU(typeIdxOf.get(id).intValue())))
       i += 1
     }
     // (b) consecutive-pair relations
@@ -58,9 +59,8 @@ object TripleEmitter {
     while (i < k - 1) {
       val a = ments.getUTF8String(i)
       val b = ments.getUTF8String(i + 1)
-      val ta = typeOf.get(a.toString).toString
-      val tb = typeOf.get(b.toString).toString
-      out.add(InternalRow(a, relPred.get(s"$ta|$tb"), b))
+      out.add(InternalRow(a,
+        relPredU(typeIdxOf.get(a).intValue())(typeIdxOf.get(b).intValue()), b))
       i += 1
     }
     // (c) discusses (first entity only)

@@ -86,6 +86,43 @@ object CoreMeasures {
     recip.crossJoin(m).select(try_divide(col("r").cast("double"), col("m")).as("reciprocity"))
   }
 
+  /** A15 pseudo_diameter (`edge_based.py:15-32`): BFS double sweep on the
+    * largest component, falling back to the whole graph when the LC has
+    * <= 1 vertex. Deviation (documented): lodcc/graph-tool's
+    * label_largest_component uses STRONG components on directed graphs; we
+    * use weak components — sparse KG strong components are near-singletons,
+    * which would always trigger the whole-graph fallback. Source vertex =
+    * the max-out-degree vertex of the component (deterministic and never a
+    * sink, unlike graph-tool's vertex 0); ties on farthest vertex break to
+    * the greatest vertex (lodcc's later-wins analog).
+    */
+  def pseudoDiameter(edges: DataFrame): DataFrame = {
+    import graft.algo.{Bfs, ConnectedComponents}
+    val spark = edges.sparkSession
+    val cc = ConnectedComponents.run(edges).cache()
+    val top = ConnectedComponents.componentSizes(cc)
+      .orderBy(col("size").desc, col("component").asc).limit(1).collect()
+    def maxOutSource(e: DataFrame): String =
+      e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+        .agg(max_by(col("src"), struct(col("od"), col("src"))))
+        .head().getString(0)
+    val (useEdges, source) =
+      if (top.isEmpty || top.head.getLong(1) <= 1) {
+        (edges, maxOutSource(edges))
+      } else {
+        val comp = top.head.getString(0)
+        val members = cc.where(col("component") === comp).select(col("vertex"))
+        val lcEdges = edges
+          .join(members.withColumnRenamed("vertex", "src"), Seq("src"), "left_semi")
+          .join(members.withColumnRenamed("vertex", "dst"), Seq("dst"), "left_semi")
+        (lcEdges, maxOutSource(lcEdges))
+      }
+    val (d, s, t) = Bfs.pseudoDiameter(useEdges, source)
+    cc.unpersist(false)
+    import spark.implicits._
+    Seq((d, s, t)).toDF("pseudo_diameter", "pseudo_diameter_src_vertex", "pseudo_diameter_trg_vertex")
+  }
+
   /** A13 centralization_degree (`centrality.py:21-40`): on the
     * parallel-edge-free copy, sum(max_deg - deg) / ((N-1)(N-2))
     * = (N*max - sum) / ((N-1)(N-2)).

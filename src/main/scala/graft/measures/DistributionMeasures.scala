@@ -75,7 +75,9 @@ object DistributionMeasures {
       .withColumn("d", abs(col("cum_le") / col("nt") -
         (lit(1.0) - pow(col("x") / col("xmin"), lit(1.0) - col("alpha")))))
       .groupBy("xmin", "alpha").agg(max("d").as("ks"))
-    ks.orderBy(col("ks").asc, col("xmin").asc)
+    // order by ROUNDED ks so candidate selection is engine-portable when two
+    // candidates differ only in the last ulps of ln/pow
+    ks.orderBy(round(col("ks"), 9).asc, col("xmin").asc)
       .limit(1)
       .select(col("alpha"), col("xmin"))
   }

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.matcher.BgpMatcher
+import graft.matcher.BgpMatcher.PatternEdge
+import graft.measures.{CoreMeasures, Degrees, DistributionMeasures}
+import graft.ops.TextOps
+import QueryUtil._
+
+/** Second wave of driver-checked queries: power-law fit, pseudo-diameter
+  * (largest-component semantics), SA2 induced-subgraph sampling, the generic
+  * BGP matcher, and URI prefix/localname slicing (SF4).
+  */
+object MoreQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_powerlaw" -> ((s, dir) => {
+      val deg = Degrees.degrees(liEdges(s, dir))
+      roundDoubles(DistributionMeasures.powerlawFit(Degrees.histogram(deg, "deg"))
+        .select(round(col("alpha"), 6).as("alpha"), col("xmin")))
+    }),
+
+    "kg_pseudo_diameter" -> ((s, dir) => {
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+        .select(concat(lit("n"), col("n_nationkey").cast("string")).as("src"),
+          concat(lit("r"), col("n_regionkey").cast("string")).as("dst"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(concat(lit("c"), (col("c_custkey") % 40).cast("string")).as("src"),
+          concat(lit("n"), col("c_nationkey").cast("string")).as("dst"))
+      CoreMeasures.pseudoDiameter(nation.union(cust))
+    }),
+
+    "kg_sample_vertex" -> ((s, dir) => {
+      // SA2 induced subgraph with engine-portable vertex predicate
+      val e = liEdges(s, dir)
+      val keep = (c: org.apache.spark.sql.Column) =>
+        TextOps.portableHash64(c) % 100 < 40
+      e.where(keep(col("src")) && keep(col("dst")))
+        .agg(count(lit(1)).as("induced_m"),
+          count_distinct(col("src")).as("induced_srcs"),
+          count_distinct(col("src"), col("dst")).as("induced_pairs"))
+    }),
+
+    "kg_bgp_matcher" -> ((s, dir) => {
+      // generic matcher: ?a -p1-> ?b -p2-> ?c with vertex-disjoint semantics
+      val m = BgpMatcher.find(liEdges(s, dir), Seq(
+        PatternEdge("a", "b", Some("p1")),
+        PatternEdge("b", "c", Some("p2"))))
+      m.agg(count(lit(1)).as("embeddings"),
+        count_distinct(col("a")).as("distinct_a"))
+    }),
+
+    "kg_uri_parse" -> ((s, dir) => {
+      val uris = s.read.parquet(s"$dir/part.parquet").select(
+        concat(lit("<http://example.org/g"), (col("p_partkey") % 5).cast("string"),
+          when(col("p_partkey") % 2 === 0, "#").otherwise("/"),
+          lit("item"), col("p_partkey").cast("string"), lit(">")).as("uri"))
+      val parsed = uris.select(BgpMatcher.uriPrefixLocal(col("uri")).as("p"))
+        .select(col("p.prefix").as("prefix"), col("p.localname").as("localname"))
+      parsed.groupBy("prefix").agg(
+        count(lit(1)).as("n"),
+        count_distinct(col("localname")).as("distinct_locals"))
+        .orderBy("prefix")
+    }),
+  )
+
+  private def powerlawSql: String =
+    s"""$edgesCte,
+       |hist AS (SELECT CAST(deg AS DOUBLE) AS x, CAST(count(*) AS BIGINT) AS cnt FROM degv GROUP BY 1),
+       |pos AS (SELECT * FROM hist WHERE x > 0),
+       |pairs AS (SELECT c.x AS xmin, h.x, h.cnt FROM (SELECT x FROM pos) c JOIN pos h ON h.x >= c.x),
+       |st AS (
+       |  SELECT xmin, sum(cnt) AS nt, sum(cnt * ln(x / xmin)) AS sumlog, count(*) AS nd
+       |  FROM pairs GROUP BY xmin
+       |  HAVING sum(cnt * ln(x / xmin)) > 0 AND count(*) >= 2),
+       |st2 AS (SELECT xmin, nt, 1.0 + nt / sumlog AS alpha FROM st),
+       |kd AS (
+       |  SELECT p.xmin, s.alpha,
+       |         abs(sum(p.cnt) OVER (PARTITION BY p.xmin ORDER BY p.x
+       |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / CAST(s.nt AS DOUBLE)
+       |             - (1.0 - pow(p.x / p.xmin, 1.0 - s.alpha))) AS d
+       |  FROM pairs p JOIN st2 s USING (xmin)),
+       |ksq AS (SELECT xmin, alpha, max(d) AS ks FROM kd GROUP BY xmin, alpha)
+       |SELECT CAST(round(alpha, 6) AS DOUBLE) AS alpha, xmin
+       |FROM ksq ORDER BY round(ks, 9) ASC, xmin ASC LIMIT 1""".stripMargin
+
+  private val smallCte: String =
+    """WITH ge AS (
+      |  SELECT 'n' || n_nationkey AS src, 'r' || n_regionkey AS dst FROM nation
+      |  UNION ALL
+      |  SELECT 'c' || (c_custkey % 40) AS src, 'n' || c_nationkey AS dst FROM customer
+      |)""".stripMargin
+
+  /** Two-sweep pseudo-diameter oracle: the small graph is one weak component
+    * (so LC = graph; source = max-out-degree vertex, ties to greatest) and
+    * every farthest vertex is a sink, so the algorithm's sweep loop
+    * terminates after the second sweep — expressible as two recursive-CTE
+    * BFS passes.
+    */
+  private def pseudoDiameterSql: String =
+    s"""$smallCte,
+       |src0 AS (SELECT src AS v FROM ge GROUP BY src ORDER BY count(*) DESC, src DESC LIMIT 1),
+       |b1 AS (
+       |  SELECT vertex, min(dist) AS dist FROM (
+       |    WITH RECURSIVE d(vertex, dist) AS (
+       |      SELECT v, 0 FROM src0
+       |      UNION ALL
+       |      SELECT e.dst, d.dist + 1 FROM d JOIN ge e ON e.src = d.vertex WHERE d.dist < 10
+       |    ) SELECT vertex, dist FROM d) t GROUP BY vertex),
+       |far1 AS (SELECT vertex, dist FROM b1 ORDER BY dist DESC, vertex DESC LIMIT 1),
+       |b2 AS (
+       |  SELECT vertex, min(dist) AS dist FROM (
+       |    WITH RECURSIVE d2(vertex, dist) AS (
+       |      SELECT vertex, 0 FROM far1
+       |      UNION ALL
+       |      SELECT e.dst, d2.dist + 1 FROM d2 JOIN ge e ON e.src = d2.vertex WHERE d2.dist < 10
+       |    ) SELECT vertex, dist FROM d2) t GROUP BY vertex),
+       |far2 AS (SELECT vertex, dist FROM b2 ORDER BY dist DESC, vertex DESC LIMIT 1)
+       |SELECT
+       |  CAST(CASE WHEN (SELECT dist FROM far2) > (SELECT dist FROM far1)
+       |       THEN (SELECT dist FROM far2) ELSE (SELECT dist FROM far1) END AS BIGINT) AS pseudo_diameter,
+       |  CASE WHEN (SELECT dist FROM far2) > (SELECT dist FROM far1)
+       |       THEN (SELECT vertex FROM far1) ELSE (SELECT v FROM src0) END AS pseudo_diameter_src_vertex,
+       |  CASE WHEN (SELECT dist FROM far2) > (SELECT dist FROM far1)
+       |       THEN (SELECT vertex FROM far2) ELSE (SELECT vertex FROM far1) END AS pseudo_diameter_trg_vertex""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "kg_powerlaw" -> powerlawSql,
+    "kg_pseudo_diameter" -> pseudoDiameterSql,
+
+    "kg_sample_vertex" ->
+      s"""$edgesCte,
+         |kept AS (
+         |  SELECT * FROM edges
+         |  WHERE ('0x' || substr(md5(src), 1, 15))::BIGINT % 100 < 40
+         |    AND ('0x' || substr(md5(dst), 1, 15))::BIGINT % 100 < 40)
+         |SELECT CAST(count(*) AS BIGINT) AS induced_m,
+         |       CAST(count(DISTINCT src) AS BIGINT) AS induced_srcs,
+         |       CAST((SELECT count(*) FROM (SELECT DISTINCT src, dst FROM kept) p) AS BIGINT) AS induced_pairs
+         |FROM kept""".stripMargin,
+
+    "kg_bgp_matcher" ->
+      s"""$edgesCte
+         |SELECT CAST(count(*) AS BIGINT) AS embeddings,
+         |       CAST(count(DISTINCT a) AS BIGINT) AS distinct_a
+         |FROM (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+         |  WHERE e1.label = 'p1' AND e2.label = 'p2'
+         |    AND e1.src <> e1.dst AND e1.dst <> e2.dst AND e1.src <> e2.dst) m""".stripMargin,
+
+    "kg_uri_parse" ->
+      """WITH uris AS (
+        |  SELECT '<http://example.org/g' || (p_partkey % 5) ||
+        |         (CASE WHEN p_partkey % 2 = 0 THEN '#' ELSE '/' END) ||
+        |         'item' || p_partkey || '>' AS uri
+        |  FROM part),
+        |parsed AS (
+        |  SELECT regexp_extract(uri, '^<(.*[/#])[^/#]*>$', 1) AS prefix,
+        |         regexp_extract(uri, '^<.*[/#]([^/#]*)>$', 1) AS localname
+        |  FROM uris)
+        |SELECT prefix, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT localname) AS BIGINT) AS distinct_locals
+        |FROM parsed GROUP BY prefix ORDER BY prefix""".stripMargin,
+  )
+}
