@@ -13,7 +13,10 @@ object ScalingProbe {
       .master(s"local[$cores]")
       .appName(s"probe-$cores")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
@@ -22,7 +25,7 @@ object ScalingProbe {
 
   def job(spark: SparkSession, path: String): Long = {
     val turns = spark.read.parquet(path)
-    val (_, edges) = Pipeline.build(turns, partitions = 32)
+    val (_, edges) = Pipeline.build(turns, partitions = sys.env.getOrElse("PROBE_PARTS", "32").toInt)
     edges.count()
   }
 
@@ -41,10 +44,21 @@ object ScalingProbe {
     for (cores <- order) {
       val s = session(cores)
       println(s"cores=$cores defaultParallelism=${s.sparkContext.defaultParallelism}")
-      for (i <- 1 to 3) {
+      for (i <- 1 to 4) {
         val t0 = System.nanoTime()
         val n = job(s, path)
         println(f"  run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s (edges=$n)")
+      }
+      // breakdown: read-only, extract-no-shuffle
+      for (i <- 1 to 2) {
+        var t0 = System.nanoTime()
+        s.read.parquet(path).count()
+        val tRead = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val turns = s.read.parquet(path)
+        graft.graph.GraphTables.edges(graft.extract.Extractor.triples(turns, None)).count()
+        val tNoShuffle = (System.nanoTime() - t0) / 1e9
+        println(f"  read-only: $tRead%.2f s, extract-no-shuffle: $tNoShuffle%.2f s")
       }
       s.stop()
     }

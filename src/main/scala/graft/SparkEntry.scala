@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.AlgoQueries.queries ++
       graft.queries.ExtractQueries.queries ++
       graft.queries.DocQueries.queries ++
-      graft.queries.MoreQueries.queries
+      graft.queries.MoreQueries.queries ++
+      graft.queries.GraphQueries2.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -25,5 +26,6 @@ object SparkEntry {
       graft.queries.AlgoQueries.oracleSql ++
       graft.queries.ExtractQueries.oracleSql ++
       graft.queries.DocQueries.oracleSql ++
-      graft.queries.MoreQueries.oracleSql
+      graft.queries.MoreQueries.oracleSql ++
+      graft.queries.GraphQueries2.oracleSql
 }

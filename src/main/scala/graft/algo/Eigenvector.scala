@@ -45,6 +45,32 @@ object Eigenvector {
     x
   }
 
+  /** Fixed-iteration variant for the driver-checked oracle queries (the
+    * DuckDB twin unrolls the identical normalize-each-step recurrence).
+    */
+  def runFixed(edges: DataFrame, iters: Int): DataFrame = {
+    val links = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val vertices = edges.select(col("src").as("vertex"))
+      .union(edges.select(col("dst").as("vertex")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = vertices.count()
+    var x = vertices.withColumn("ev", lit(1.0 / math.sqrt(n.toDouble))).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val raw = links.join(x, links("src") === x("vertex"))
+        .groupBy(col("dst").as("vertex"))
+        .agg(sum(col("ev")).as("s"))
+      val withAll = vertices.join(raw, Seq("vertex"), "left_outer")
+        .select(col("vertex"), coalesce(col("s"), lit(0.0)).as("s"))
+      val norm = math.sqrt(
+        withAll.agg(coalesce(sum(col("s") * col("s")), lit(0.0))).head().getDouble(0))
+      x = withAll.select(col("vertex"),
+        (if (norm == 0.0) col("s") else col("s") / norm).as("ev")).localCheckpoint(true)
+    }
+    links.unpersist(false)
+    x
+  }
+
   /** argmax vertex, lodcc tie-break "later wins" pinned as greatest vertex. */
   def maxVertex(ev: DataFrame): DataFrame =
     ev.agg(max_by(col("vertex"), struct(col("ev"), col("vertex"))).as("max_eigenvector_vertex"))

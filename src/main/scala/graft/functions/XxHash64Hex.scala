@@ -33,14 +33,13 @@ case class XxHash64Hex(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
-    UTF8String.fromString(XxHash64Hex.hex(XXH64.hashUTF8String(s, 0L)))
+    XxHash64Hex.hexU(XXH64.hashUTF8String(s, 0L))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
-        s"graft.functions.XxHash64Hex.hex(" +
-        s"org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String($c, 0L)))")
+      s"graft.functions.XxHash64Hex.hexU(" +
+        s"org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String($c, 0L))")
 
   override protected def withNewChildInternal(newChild: Expression): XxHash64Hex =
     copy(child = newChild)
@@ -50,6 +49,19 @@ object XxHash64Hex {
   /** Driver/test-side convenience: digest of a plain Scala string. */
   def hexOf(s: String): String =
     hex(XXH64.hashUTF8String(UTF8String.fromString(s), 0L))
+
+  private val HexDigits = "0123456789abcdef".getBytes
+
+  /** Hot path: hex digest as UTF8String built from raw ASCII bytes — one
+    * allocation instead of char[] + String + UTF-8 re-encode per call.
+    */
+  def hexU(v: Long): UTF8String = {
+    val b = new Array[Byte](16)
+    var i = 15
+    var x = v
+    while (i >= 0) { b(i) = HexDigits((x & 0xf).toInt); x >>>= 4; i -= 1 }
+    UTF8String.fromBytes(b)
+  }
 
   /** %016x without locale surprises; called from generated code too. */
   def hex(v: Long): String = {
