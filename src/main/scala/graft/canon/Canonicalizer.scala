@@ -80,6 +80,39 @@ object Canonicalizer {
       .select(col("surface"), coalesce(col("component"), col("surface")).as("canonical"))
   }
 
+  /** MLlib-built-in variant (SURVEY.md §7.5): char shingles -> binary
+    * HashingTF vectors -> `ml.feature.MinHashLSH.approxSimilarityJoin` at
+    * Jaccard distance <= 1-minJ, then the same exact-normalization edges and
+    * CC merge as [[canonicalize]]. Kept alongside the portable-hash
+    * implementation; both must agree on the gazetteer clusters (CanonSpec).
+    */
+  def canonicalizeML(surfaces: DataFrame, shingleK: Int = 3,
+                     numHashTables: Int = 8, minJ: Double = 0.5): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val s = surfaces.select(col("surface")).distinct().cache()
+    val withNorm = s.withColumn("norm", Extractor.normalizeCol(col("surface")))
+    val exactEdges = withNorm.as("x")
+      .join(withNorm.as("y"),
+        col("x.norm") === col("y.norm") && col("x.surface") < col("y.surface"))
+      .select(col("x.surface").as("src"), col("y.surface").as("dst"))
+
+    val shingleSets = charShingles(s, shingleK)
+      .groupBy("surface").agg(collect_set(col("shingle")).as("shingles"))
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feats = tf.transform(shingleSets)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(42L)
+    val model = lsh.fit(feats)
+    val pairs = model.approxSimilarityJoin(feats, feats, 1.0 - minJ, "jaccard_dist")
+      .select(col("datasetA.surface").as("src"), col("datasetB.surface").as("dst"))
+      .where(col("src") < col("dst"))
+
+    val cc = graft.algo.ConnectedComponents.run(exactEdges.union(pairs))
+    s.join(cc.withColumnRenamed("vertex", "surface"), Seq("surface"), "left_outer")
+      .select(col("surface"), coalesce(col("component"), col("surface")).as("canonical"))
+  }
+
   /** Rewrite a triples table through the canonical map on subj and obj. */
   def applyTo(triples: DataFrame, mapping: DataFrame): DataFrame = {
     val m = broadcast(mapping)

@@ -43,6 +43,24 @@ class CanonSpec extends AnyFunSuite {
     assert(mapping("Margaret Hamilton") != mapping("Tyrell Corp"))
   }
 
+  test("MLlib MinHashLSH variant: no cross-entity merges, exact-norm merges kept") {
+    val surfaces = Gazetteer.entities.flatMap(_.aliases).toDF("surface")
+    val b = Canonicalizer.canonicalizeML(surfaces).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // precision: a cluster never mixes two entities (LSH is approximate in
+    // RECALL — it may split, it must not wrongly merge after verification)
+    def ent(alias: String): String =
+      Gazetteer.aliasToId(graft.extract.TextNorm.normalize(alias))
+    b.toSeq.groupBy(_._2).values.foreach { group =>
+      assert(group.map { case (s, _) => ent(s) }.distinct.size == 1,
+        s"ML cluster mixes entities: ${group.map(_._1).mkString(", ")}")
+    }
+    // exact-normalization merges are deterministic and must always hold
+    assert(b("Ada Lovelace") == b("ada lovelace"))
+    assert(b("Zurich") == b("Zürich"))
+    assert(b("NEW YORK") == b("New York"))
+  }
+
   test("applyTo rewrites triples through the canonical map") {
     val triples = Seq(
       ("c1", 0, "Ada Lovelace", "p", "Zürich"),
