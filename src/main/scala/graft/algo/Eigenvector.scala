@@ -62,10 +62,13 @@ object Eigenvector {
         .agg(sum(col("ev")).as("s"))
       val withAll = vertices.join(raw, Seq("vertex"), "left_outer")
         .select(col("vertex"), coalesce(col("s"), lit(0.0)).as("s"))
-      val norm = math.sqrt(
-        withAll.agg(coalesce(sum(col("s") * col("s")), lit(0.0))).head().getDouble(0))
-      x = withAll.select(col("vertex"),
-        (if (norm == 0.0) col("s") else col("s") / norm).as("ev")).localCheckpoint(true)
+      // norm folded into the plan (crossJoin of a 1-row agg) — one job per
+      // iteration instead of a separate driver action for the norm
+      val normDF = withAll.agg(sqrt(coalesce(sum(col("s") * col("s")), lit(0.0))).as("nrm"))
+      x = withAll.crossJoin(normDF)
+        .select(col("vertex"),
+          when(col("nrm") === 0.0, col("s")).otherwise(col("s") / col("nrm")).as("ev"))
+        .localCheckpoint(true)
     }
     links.unpersist(false)
     x
