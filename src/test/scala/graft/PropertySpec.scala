@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.measures.{CoreMeasures, Degrees, DistributionMeasures, RdfMeasures}
+
+/** ScalaCheck invariants (SURVEY.md §5): conservation laws and bounds that
+  * must hold for ANY edge table, checked on randomly generated graphs.
+  */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  val edgeGen: Gen[List[(String, String, String)]] = for {
+    n <- Gen.choose(1, 40)
+    m <- Gen.choose(1, 120)
+    edges <- Gen.listOfN(m, for {
+      s <- Gen.choose(0, n - 1)
+      o <- Gen.choose(0, n - 1)
+      p <- Gen.choose(0, 4)
+    } yield (s"v$s", s"v$o", s"p$p"))
+  } yield edges
+
+  /** Deterministic forAll over seeded ScalaCheck generators (the
+    * scalatestplus bridge is not in the offline cache). */
+  def forAllSeeded[A](gen: Gen[A], n: Int = 8)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  test("degree conservation: sum(out) = m = sum(in) = sum(predicate_degree)") {
+    forAllSeeded(edgeGen) { es =>
+      if (es.nonEmpty) {
+        val edges = es.toDF("src", "dst", "label").cache()
+        val m = edges.count()
+        val d = Degrees.degrees(edges).agg(sum("out_deg"), sum("in_deg")).head()
+        assert(d.getLong(0) == m && d.getLong(1) == m)
+        val pd = edges.groupBy("label").count().agg(sum("count")).head()
+        assert(pd.getLong(0) == m)
+        edges.unpersist(false)
+      }
+    }
+  }
+
+  test("parallel_edges + m_unique = m; 0 <= fill <= fill_overall") {
+    forAllSeeded(edgeGen) { es =>
+      if (es.nonEmpty) {
+        val edges = es.toDF("src", "dst", "label")
+        val b = CoreMeasures.basic(edges).head()
+        val m = b.getAs[Long]("m")
+        assert(b.getAs[Long]("parallel_edges") + b.getAs[Long]("m_unique") == m)
+        assert(b.getAs[Double]("fill") <= b.getAs[Double]("fill_overall") + 1e-15)
+        assert(b.getAs[Double]("fill") >= 0.0)
+      }
+    }
+  }
+
+  test("0 <= gini <= 1 and h <= sqrt(2m) on total degree") {
+    forAllSeeded(edgeGen) { es =>
+      if (es.nonEmpty) {
+        val edges = es.toDF("src", "dst", "label")
+        val deg = Degrees.degrees(edges)
+        val hist = Degrees.histogram(deg, "deg")
+        val g = DistributionMeasures.gini(hist).head().getDouble(0)
+        assert(g >= -1e-12 && g <= 1.0)
+        val h = DistributionMeasures.hIndex(hist).head().getLong(0)
+        assert(h <= math.sqrt(2.0 * es.size) + 1)
+      }
+    }
+  }
+
+  test("mean bounds: mean_out <= max_out; subject_object_ratio in [0,1]") {
+    forAllSeeded(edgeGen) { es =>
+      if (es.nonEmpty) {
+        val edges = es.toDF("src", "dst", "label")
+        val od = RdfMeasures.outDegree(edges).head()
+        assert(od.getAs[Double]("mean_out_degree") <= od.getAs[Long]("max_out_degree") + 1e-12)
+        val r = RdfMeasures.subjectObjectRatio(edges).head().getDouble(0)
+        assert(r >= 0.0 && r <= 1.0)
+      }
+    }
+  }
+
+  test("hash stability: xxh64_hex deterministic and 16 lowercase hex chars") {
+    forAllSeeded(Gen.listOfN(20, Gen.asciiPrintableStr), 4) { ss =>
+      val out = ss.toDF("s")
+        .select(graft.functions.gfunctions.xxh64_hex(col("s")).as("h"))
+        .collect().map(_.getString(0))
+      out.foreach(h => assert(h.matches("[0-9a-f]{16}")))
+      assert(out.toSeq == ss.map(graft.functions.XxHash64Hex.hexOf))
+    }
+  }
+
+  test("sampling preserves schema and subsets rows") {
+    forAllSeeded(edgeGen) { es =>
+      if (es.nonEmpty) {
+        val edges = es.toDF("src", "dst", "label")
+        val s = graft.sampling.Sampling.vertexInducedSample(edges, 0.5, seed = 7)
+        assert(s.schema == edges.schema)
+        assert(s.count() <= edges.count())
+      }
+    }
+  }
+}
