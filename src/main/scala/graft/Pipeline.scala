@@ -24,8 +24,19 @@ object Pipeline {
     (triples, edges)
   }
 
-  /** Core + RDF structural measures over an edge table, long format. */
-  def measures(edges: DataFrame): DataFrame = {
+  /** lodcc's default feature set (`core_measures.py:188-190`) plus the
+    * Fernandez block; eigenvector/clustering excluded by default for the
+    * same runtime reasons as the reference.
+    */
+  val DefaultFeatures: Set[String] = Set(
+    "basic", "degree", "gini", "h_index", "reciprocity", "centralization",
+    "rdf")
+
+  /** Core + RDF structural measures over an edge table, long format.
+    * `features` gates which measure groups are computed (lodcc's --features
+    * flag analog); unknown names are ignored.
+    */
+  def measures(edges: DataFrame, features: Set[String]): DataFrame = {
     val degrees = Degrees.degrees(edges).cache()
     val degHist = Degrees.histogram(degrees, "deg")
     val inHist = Degrees.histogram(degrees, "in_deg")
@@ -36,33 +47,44 @@ object Pipeline {
         cols.flatMap(c => Seq(lit(c), col(c).cast("double"))): _*)).as(Seq("measure", "value")))
     }
 
-    val parts = Seq(
-      CoreMeasures.basic(edges),
-      CoreMeasures.degreeStats(degrees),
-      CoreMeasures.reciprocity(edges),
-      CoreMeasures.centralizationDegree(edges),
-      DistributionMeasures.gini(degHist).withColumnRenamed("gini", "gini_coefficient"),
-      DistributionMeasures.gini(inHist).withColumnRenamed("gini", "gini_coefficient_in_degree"),
-      DistributionMeasures.gini(Degrees.histogram(degrees, "out_deg"))
-        .withColumnRenamed("gini", "gini_coefficient_out_degree"),
-      DistributionMeasures.hIndex(degHist).withColumnRenamed("h_index", "h_index_u"),
-      DistributionMeasures.hIndex(inHist).withColumnRenamed("h_index", "h_index_d"),
-      RdfMeasures.outDegree(edges),
-      RdfMeasures.partialOutDegree(edges),
-      RdfMeasures.labelledOutDegree(edges),
-      RdfMeasures.directOutDegree(edges),
-      RdfMeasures.inDegree(edges),
-      RdfMeasures.partialInDegree(edges),
-      RdfMeasures.labelledInDegree(edges),
-      RdfMeasures.directInDegree(edges),
-      RdfMeasures.predicateDegree(edges),
-      RdfMeasures.predicateInDegree(edges),
-      RdfMeasures.predicateOutDegree(edges),
-      RdfMeasures.subjectObjectRatio(edges),
-      RdfMeasures.predicateLists(edges),
-      RdfMeasures.typedMeasures(edges, graft.functions.XxHash64Hex.hexOf("rdf:type")))
-    parts.map(longf).reduce(_ union _)
+    val parts: Seq[(String, () => DataFrame)] = Seq(
+      "basic" -> (() => CoreMeasures.basic(edges)),
+      "degree" -> (() => CoreMeasures.degreeStats(degrees)),
+      "reciprocity" -> (() => CoreMeasures.reciprocity(edges)),
+      "centralization" -> (() => CoreMeasures.centralizationDegree(edges)),
+      "gini" -> (() =>
+        DistributionMeasures.gini(degHist).withColumnRenamed("gini", "gini_coefficient")
+          .crossJoin(DistributionMeasures.gini(inHist)
+            .withColumnRenamed("gini", "gini_coefficient_in_degree"))
+          .crossJoin(DistributionMeasures.gini(Degrees.histogram(degrees, "out_deg"))
+            .withColumnRenamed("gini", "gini_coefficient_out_degree"))),
+      "h_index" -> (() =>
+        DistributionMeasures.hIndex(degHist).withColumnRenamed("h_index", "h_index_u")
+          .crossJoin(DistributionMeasures.hIndex(inHist)
+            .withColumnRenamed("h_index", "h_index_d"))),
+      "powerlaw" -> (() =>
+        DistributionMeasures.powerlawFit(degHist)
+          .select(col("alpha").as("powerlaw_exponent_degree"),
+            col("xmin").as("powerlaw_exponent_degree_dmin"))),
+      "clustering" -> (() => graft.algo.Triangles.clustering(edges)),
+      "rdf" -> (() => Seq(
+        RdfMeasures.outDegree(edges), RdfMeasures.partialOutDegree(edges),
+        RdfMeasures.labelledOutDegree(edges), RdfMeasures.directOutDegree(edges),
+        RdfMeasures.inDegree(edges), RdfMeasures.partialInDegree(edges),
+        RdfMeasures.labelledInDegree(edges), RdfMeasures.directInDegree(edges),
+        RdfMeasures.predicateDegree(edges), RdfMeasures.predicateInDegree(edges),
+        RdfMeasures.predicateOutDegree(edges), RdfMeasures.subjectObjectRatio(edges),
+        RdfMeasures.predicateLists(edges),
+        RdfMeasures.typedMeasures(edges, graft.functions.XxHash64Hex.hexOf("rdf:type")))
+        .reduce(_ crossJoin _)))
+
+    parts.collect { case (name, f) if features.contains(name) => longf(f()) }
+      .reduce(_ union _)
+      .dropDuplicates("measure")
   }
+
+  /** Default feature set (lodcc default-features analog). */
+  def measures(edges: DataFrame): DataFrame = measures(edges, DefaultFeatures)
 
   /** Checkpointed, resumable run (north rule §7.3): every stage commits a
     * snapshot with per-partition lineage; a rerun (e.g. after a kill) skips

@@ -55,6 +55,19 @@ class MatcherSpec extends AnyFunSuite {
     assert(r(1).getString(0) == "http://ex.org/path/" && r(1).getString(1) == "leaf")
   }
 
+  test("query templates: embeddings instantiate SPARQL strings (lodcc 4th entry point)") {
+    import graft.matcher.QueryTemplates
+    val qs = QueryTemplates.instantiate(edges, QueryTemplates.l1, maxN = 2)
+    assert(qs.nonEmpty && qs.size <= 2)
+    qs.foreach { q =>
+      assert(q.contains("SELECT ?b ?c WHERE"))
+      assert(!q.contains("{{"), s"unbound template var in: $q") // all vars bound
+    }
+    // star template on a graph with a 2-out-degree hub only matches if some
+    // vertex has >= 3 distinct neighbors; our 5-edge fixture has none
+    assert(QueryTemplates.instantiate(edges, QueryTemplates.s1).isEmpty)
+  }
+
   test("pseudo-diameter with largest-component semantics on fixture") {
     val fixtureEdges = Seq(
       ("/John", "john@example.org", "m"), ("/John", "john@doe.org", "m"),
