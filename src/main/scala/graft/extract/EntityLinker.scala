@@ -1,0 +1,89 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Entity-link scoring (north-star stage between mention detection and
+  * canonicalization): ambiguous surface forms are resolved to a candidate
+  * entity by context-keyword overlap, entirely as built-in column
+  * expressions (no UDFs, no shuffle — the stage is map-only, so it scales
+  * linearly with input partitions; the tiny in-row candidate sort uses a
+  * higher-order-function comparator, which Spark embeds in the codegen'd
+  * stage via its fallback path).
+  *
+  * Semantics (shared verbatim with the DuckDB oracle twin in
+  * `queries.ExtractQueries`):
+  *   1. normalize text with [[Extractor.normalizeCol]]; tokenize on ' '
+  *   2. an ambiguous alias is "mentioned" iff it appears as a whole token
+  *   3. each candidate's score = |tokens(turn) ∩ context(candidate)|
+  *   4. chosen = argmax score, ties broken by lexicographically smallest
+  *      entity id (deterministic regardless of partitioning)
+  *
+  * Reference analog: lodcc resolves surface forms to graph vertices by a
+  * fixed hash of the full token (`graph/building/edgelist.py:34`); linking
+  * there is degenerate (1:1). This stage generalizes it to 1:N with a
+  * scoring rule, as the north star requires.
+  */
+object EntityLinker {
+
+  final case class Candidate(id: String, etype: String, context: Seq[String])
+
+  /** Ambiguous alias -> candidates with single-token lowercase contexts
+    * (disjoint from aliases and from each other's discriminating terms).
+    */
+  val ambiguous: Map[String, Seq[Candidate]] = Map(
+    "jordan" -> Seq(
+      Candidate("person:michael_jordan", "Person", Seq("basketball", "bulls", "nba", "dunk")),
+      Candidate("place:jordan", "Place", Seq("amman", "river", "country", "visa"))),
+    "mercury" -> Seq(
+      Candidate("person:freddie_mercury", "Person", Seq("queen", "singer", "bohemian", "concert")),
+      Candidate("org:mercury_labs", "Org", Seq("insurance", "policy", "claim", "premium"))),
+    "amazon" -> Seq(
+      Candidate("org:amazon", "Org", Seq("aws", "shopping", "delivery", "prime")),
+      Candidate("place:amazon_river", "Place", Seq("rainforest", "brazil", "jungle", "piranha"))))
+
+  /** All aliases, sorted — the deterministic scan order. */
+  val aliases: Seq[String] = ambiguous.keys.toSeq.sorted
+
+  /** Union of all context keywords, sorted (query-synthesis vocabulary). */
+  val allKeywords: Seq[String] =
+    ambiguous.values.flatten.flatMap(_.context).toSeq.distinct.sorted
+
+  private def bestOf(toks: Column, cands: Seq[Candidate]): Column = {
+    val scored = array(cands.map { c =>
+      struct(
+        size(array_intersect(toks, typedlit(c.context))).as("score"),
+        lit(c.id).as("entity"))
+    }: _*)
+    // max score first, then lexicographically smallest id — a comparator
+    // sort on a tiny in-row array (no shuffle)
+    val ordered = array_sort(scored, (l, r) =>
+      when(l.getField("score") > r.getField("score"), -1)
+        .when(l.getField("score") < r.getField("score"), 1)
+        .when(l.getField("entity") < r.getField("entity"), -1)
+        .when(l.getField("entity") > r.getField("entity"), 1)
+        .otherwise(0))
+    element_at(ordered, 1)
+  }
+
+  /** turns(..., text) -> one row per ambiguous mention:
+    * (input columns..., mention, entity, score). Map-only.
+    */
+  def link(turns: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = split(Extractor.normalizeCol(col(textCol)), " ")
+    val perAlias = aliases.map { alias =>
+      val best = bestOf(toks, ambiguous(alias))
+      when(array_contains(toks, alias),
+        struct(
+          lit(alias).as("mention"),
+          best.getField("entity").as("entity"),
+          best.getField("score").as("score")))
+    }
+    turns
+      .withColumn("link", explode(array_compact(array(perAlias: _*))))
+      .withColumn("mention", col("link.mention"))
+      .withColumn("entity", col("link.entity"))
+      .withColumn("score", col("link.score"))
+      .drop("link")
+  }
+}

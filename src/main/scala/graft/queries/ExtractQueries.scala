@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.extract.{Extractor, Gazetteer}
+import graft.extract.{EntityLinker, Extractor, Gazetteer}
 
 /** Driver-checked extraction-parity query (SF6): gazetteer+regex mention
   * detection over transcripts that are themselves derived from the orders
@@ -46,6 +46,20 @@ object ExtractQueries {
         .groupBy("entity").agg(count(lit(1)).as("mentions"))
         .orderBy("entity")
     }),
+    // entity-link scoring (north-star stage): ambiguous alias -> candidate
+    // chosen by context-keyword overlap, ties to lexicographic-min id
+    "kg_link_score" -> ((s, dir) => {
+      val al = EntityLinker.aliases
+      val kws = EntityLinker.allKeywords
+      val turns = s.read.parquet(s"$dir/orders.parquet").select(concat(
+        lit("i met "), get(typedlit(al), (col("o_orderkey") % al.size).cast("int")),
+        lit(" near the "), get(typedlit(kws), ((col("o_orderkey") * 13 + 5) % kws.size).cast("int")),
+        lit(" today")).as("text"))
+      EntityLinker.link(turns)
+        .groupBy("entity")
+        .agg(count(lit(1)).as("links"), sum("score").cast("long").as("total_score"))
+        .orderBy("entity")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -70,5 +84,52 @@ object ExtractQueries {
          |SELECT a.entity, CAST(count(*) AS BIGINT) AS mentions
          |FROM mentions m JOIN amap a ON a.alias = m.mention
          |GROUP BY a.entity ORDER BY a.entity""".stripMargin,
+    "kg_link_score" -> {
+      val al = EntityLinker.aliases
+      val kws = EntityLinker.allKeywords
+      val alCte = al.zipWithIndex.map { case (a, i) => s"($i, '$a')" }
+        .mkString("al(i, alias) AS (VALUES ", ", ", ")")
+      val kwCte = kws.zipWithIndex.map { case (k, i) => s"($i, '$k')" }
+        .mkString("kws(i, kw) AS (VALUES ", ", ", ")")
+      val candCte = al.flatMap(a => EntityLinker.ambiguous(a).map(c => s"('$a', '${c.id}')"))
+        .mkString("cand(alias, entity) AS (VALUES ", ", ", ")")
+      val ckwCte = al.flatMap(a => EntityLinker.ambiguous(a)
+        .flatMap(c => c.context.map(k => s"('${c.id}', '$k')")))
+        .mkString("ckw(entity, kw) AS (VALUES ", ", ", ")")
+      s"""WITH $alCte,
+         |$kwCte,
+         |$candCte,
+         |$ckwCte,
+         |turns AS (
+         |  SELECT o.o_orderkey AS tid,
+         |    'i met ' || a.alias || ' near the ' || k.kw || ' today' AS text
+         |  FROM orders o
+         |  JOIN al a ON a.i = o.o_orderkey % ${al.size}
+         |  JOIN kws k ON k.i = (o.o_orderkey * 13 + 5) % ${kws.size}
+         |),
+         |tok AS (
+         |  SELECT tid, str_split(trim(regexp_replace(
+         |    translate(lower(text), 'üã', 'ua'), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+         |  FROM turns
+         |),
+         |ment AS (
+         |  SELECT t.tid, c.alias, c.entity, t.toks
+         |  FROM tok t JOIN cand c ON list_contains(t.toks, c.alias)
+         |),
+         |scores AS (
+         |  SELECT m.tid, m.alias, m.entity,
+         |         count(*) FILTER (WHERE list_contains(m.toks, w.kw)) AS score
+         |  FROM ment m JOIN ckw w ON w.entity = m.entity
+         |  GROUP BY m.tid, m.alias, m.entity
+         |),
+         |chosen AS (
+         |  SELECT entity, score,
+         |    row_number() OVER (PARTITION BY tid, alias ORDER BY score DESC, entity ASC) AS rn
+         |  FROM scores)
+         |SELECT entity, CAST(count(*) AS BIGINT) AS links,
+         |       CAST(sum(score) AS BIGINT) AS total_score
+         |FROM chosen WHERE rn = 1
+         |GROUP BY entity ORDER BY entity""".stripMargin
+    },
   )
 }
