@@ -24,27 +24,46 @@ object Pipeline {
     (triples, edges)
   }
 
-  /** lodcc's default feature set (`core_measures.py:188-190`) plus the
-    * Fernandez block; eigenvector/clustering excluded by default for the
-    * same runtime reasons as the reference.
+  /** lodcc's default feature set, verbatim (`core_measures.py:188-190`):
+    * degree, plots, diameter, fill, h_index, pagerank, parallel_edges,
+    * powerlaw, reciprocity — eigenvector and clustering excluded by default
+    * "due to runtime", exactly like the reference. `fill` and
+    * `parallel_edges` are facets of the basic-measure pass here (aliases
+    * resolved inside [[measures]]).
     */
   val DefaultFeatures: Set[String] = Set(
-    "basic", "degree", "gini", "h_index", "reciprocity", "centralization",
-    "rdf")
+    "degree", "plots", "diameter", "fill", "h_index", "pagerank",
+    "parallel_edges", "powerlaw", "reciprocity")
 
-  /** Core + RDF structural measures over an edge table, long format.
-    * `features` gates which measure groups are computed (lodcc's --features
-    * flag analog); unknown names are ignored.
+  /** Core + RDF structural measures over an edge table, long format
+    * (measure, value). `features` gates which measure groups are computed
+    * (lodcc's --features flag analog); unknown names are ignored.
+    *
+    * Feature names follow lodcc: basic (aliases: fill, parallel_edges),
+    * degree, plots (degree/in/out distribution tables as
+    * `<kind>_distribution_<x>` rows), diameter, gini, h_index, pagerank,
+    * eigenvector, powerlaw (total AND in-degree fits,
+    * `degree_based.py:117-122,168-173`), reciprocity, centralization,
+    * clustering, rdf (the Fernandez block). Vertex-valued outputs
+    * (argmax vertices, diameter endpoints) are not representable in the
+    * numeric long format — use the dedicated CoreMeasures/PageRank APIs.
     */
   def measures(edges: DataFrame, features: Set[String]): DataFrame = {
     val degrees = Degrees.degrees(edges).cache()
     val degHist = Degrees.histogram(degrees, "deg")
     val inHist = Degrees.histogram(degrees, "in_deg")
+    val outHist = Degrees.histogram(degrees, "out_deg")
 
     def longf(df: DataFrame): DataFrame = {
       val cols = df.columns
       df.select(explode(map(
         cols.flatMap(c => Seq(lit(c), col(c).cast("double"))): _*)).as(Seq("measure", "value")))
+    }
+
+    // lodcc flag aliases: fill + parallel_edges come from the basic pass
+    val want = features.map {
+      case "fill" | "parallel_edges" => "basic"
+      case f => f
     }
 
     val parts: Seq[(String, () => DataFrame)] = Seq(
@@ -56,7 +75,7 @@ object Pipeline {
         DistributionMeasures.gini(degHist).withColumnRenamed("gini", "gini_coefficient")
           .crossJoin(DistributionMeasures.gini(inHist)
             .withColumnRenamed("gini", "gini_coefficient_in_degree"))
-          .crossJoin(DistributionMeasures.gini(Degrees.histogram(degrees, "out_deg"))
+          .crossJoin(DistributionMeasures.gini(outHist)
             .withColumnRenamed("gini", "gini_coefficient_out_degree"))),
       "h_index" -> (() =>
         DistributionMeasures.hIndex(degHist).withColumnRenamed("h_index", "h_index_u")
@@ -65,7 +84,16 @@ object Pipeline {
       "powerlaw" -> (() =>
         DistributionMeasures.powerlawFit(degHist)
           .select(col("alpha").as("powerlaw_exponent_degree"),
-            col("xmin").as("powerlaw_exponent_degree_dmin"))),
+            col("xmin").as("powerlaw_exponent_degree_dmin"))
+          .crossJoin(DistributionMeasures.powerlawFit(inHist)
+            .select(col("alpha").as("powerlaw_exponent_in_degree"),
+              col("xmin").as("powerlaw_exponent_in_degree_dmin")))),
+      "diameter" -> (() =>
+        CoreMeasures.pseudoDiameter(edges).select(col("pseudo_diameter"))),
+      "pagerank" -> (() =>
+        graft.algo.PageRank.run(edges).agg(max(col("rank")).as("max_pagerank"))),
+      "eigenvector" -> (() =>
+        graft.algo.Eigenvector.run(edges).agg(max(col("ev")).as("max_eigenvector"))),
       "clustering" -> (() => graft.algo.Triangles.clustering(edges)),
       "rdf" -> (() => Seq(
         RdfMeasures.outDegree(edges), RdfMeasures.partialOutDegree(edges),
@@ -78,13 +106,41 @@ object Pipeline {
         RdfMeasures.typedMeasures(edges, graft.functions.XxHash64Hex.hexOf("rdf:type")))
         .reduce(_ crossJoin _)))
 
-    parts.collect { case (name, f) if features.contains(name) => longf(f()) }
-      .reduce(_ union _)
+    val scalarRows =
+      parts.collect { case (name, f) if want.contains(name) => longf(f()) }
+    // lodcc's `plots` feature: the degree distribution tables, one long row
+    // per distinct degree value (at most |distinct degrees| rows — cheap)
+    val plotRows =
+      if (want.contains("plots"))
+        Seq(("degree", degHist), ("in_degree", inHist), ("out_degree", outHist))
+          .map { case (kind, h) =>
+            h.select(
+              concat(lit(s"${kind}_distribution_"),
+                col("x").cast("long").cast("string")).as("measure"),
+              col("cnt").cast("double").as("value"))
+          }
+      else Seq.empty
+
+    val spark = edges.sparkSession
+    import spark.implicits._
+    (scalarRows ++ plotRows)
+      .reduceOption(_ union _)
+      .getOrElse(Seq.empty[(String, Double)].toDF("measure", "value"))
       .dropDuplicates("measure")
   }
 
   /** Default feature set (lodcc default-features analog). */
   def measures(edges: DataFrame): DataFrame = measures(edges, DefaultFeatures)
+
+  /** Optional JDBC stats sink — the literal lodcc S9 binding
+    * (`db/SqliteHelper.py:153-171` upserts the measure row into an RDBMS).
+    * The long-format Parquet table is the default, cluster-native sink; this
+    * hook appends the same rows through Spark's generic JDBC writer when a
+    * driver jar for the target database is on the classpath.
+    */
+  def writeStatsJdbc(stats: DataFrame, url: String, table: String,
+                     props: java.util.Properties = new java.util.Properties()): Unit =
+    stats.write.mode("append").jdbc(url, table, props)
 
   /** Checkpointed, resumable run (north rule §7.3): every stage commits a
     * snapshot with per-partition lineage; a rerun (e.g. after a kill) skips

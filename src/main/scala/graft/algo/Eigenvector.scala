@@ -77,4 +77,12 @@ object Eigenvector {
   /** argmax vertex, lodcc tie-break "later wins" pinned as greatest vertex. */
   def maxVertex(ev: DataFrame): DataFrame =
     ev.agg(max_by(col("vertex"), struct(col("ev"), col("vertex"))).as("max_eigenvector_vertex"))
+
+  /** Centrality-value distribution table — the Spark analog of lodcc's
+    * eigenvector plot (`centrality.py:100-122`). Rounded to `precision`
+    * decimals for deterministic, engine-portable bucketing; (ev, cnt).
+    */
+  def distribution(ev: DataFrame, precision: Int = 6): DataFrame =
+    ev.groupBy(round(col("ev"), precision).as("ev"))
+      .agg(count(lit(1)).as("cnt"))
 }

@@ -30,21 +30,26 @@ object PageRank {
     var delta = Double.MaxValue
     while (delta > eps && iter < maxIter) {
       val contribs = links
-        .join(ranks, links("src") === ranks("vertex"))
+        .join(ranks.withColumnRenamed("rank", "prev"), links("src") === col("vertex"))
         .groupBy(col("dst").as("vertex"))
-        .agg(sum(col("rank") / col("out_deg")).as("c"))
-      val next = vertices.join(contribs, Seq("vertex"), "left_outer")
+        .agg(sum(col("prev") / col("out_deg")).as("c"))
+      // fold the convergence check into the rank-update job: carry prev in
+      // the same frame and localCheckpoint (an action that caches) — the
+      // delta agg below then reads only the cached partitions, so each
+      // iteration pays exactly one contribs shuffle instead of two
+      val next = ranks.withColumnRenamed("rank", "prev")
+        .join(contribs, Seq("vertex"), "left_outer")
         .select(col("vertex"),
-          (lit(1.0 - damping) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"),
+          col("prev"))
         .localCheckpoint(true)
-      delta = next.join(ranks.withColumnRenamed("rank", "prev"), "vertex")
-        .agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0)))
+      delta = next.agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0)))
         .head().getDouble(0)
-      ranks = next
+      ranks = next.select("vertex", "rank")
       iter += 1
     }
     links.unpersist(false)
-    ranks
+    ranks.select("vertex", "rank")
   }
 
   /** Fixed-iteration variant (deterministic, no convergence action) — used
@@ -82,4 +87,14 @@ object PageRank {
     ranks.agg(
       max(col("rank")).as("max_pagerank"),
       max_by(col("vertex"), struct(col("rank"), col("vertex"))).as("max_pagerank_vertex"))
+
+  /** Rank-value distribution table — the Spark analog of lodcc's pagerank
+    * plot (`centrality.py:57-79` buckets the rank vector for the plot file).
+    * Values are rounded to `precision` decimals first so the bucketing is
+    * deterministic and engine-portable; output is (rank, cnt), at most
+    * |distinct rounded ranks| rows after one distributed groupBy.
+    */
+  def distribution(ranks: DataFrame, precision: Int = 6): DataFrame =
+    ranks.groupBy(round(col("rank"), precision).as("rank"))
+      .agg(count(lit(1)).as("cnt"))
 }

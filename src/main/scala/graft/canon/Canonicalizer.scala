@@ -19,6 +19,20 @@ import graft.ops.{Dedup, TextOps}
   */
 object Canonicalizer {
 
+  /** Star edges through the normalized form: for every group of surfaces
+    * sharing one normalized form, one edge per member to the group hub
+    * (min surface) — g-1 edges for a group of g, never the g²/2 of an
+    * all-pairs self-join. CC output is identical (a star is connected),
+    * but a popular normalized form ("the", OCR noise, boilerplate) stays
+    * linear instead of exploding quadratically on one shuffle key.
+    */
+  private[graft] def exactNormEdges(withNorm: DataFrame): DataFrame = {
+    val hubs = withNorm.groupBy("norm").agg(min("surface").as("hub"))
+    withNorm.join(hubs, "norm")
+      .where(col("surface") =!= col("hub"))
+      .select(col("hub").as("src"), col("surface").as("dst"))
+  }
+
   /** Character k-shingles of the normalized surface. */
   def charShingles(surfaces: DataFrame, k: Int): DataFrame = {
     val norm = Extractor.normalizeCol(col("surface"))
@@ -43,11 +57,8 @@ object Canonicalizer {
     val s = surfaces.select(col("surface")).distinct().cache()
     val withNorm = s.withColumn("norm", Extractor.normalizeCol(col("surface")))
 
-    // (a) exact edges through the normalized form
-    val exactEdges = withNorm.as("x")
-      .join(withNorm.as("y"),
-        col("x.norm") === col("y.norm") && col("x.surface") < col("y.surface"))
-      .select(col("x.surface").as("src"), col("y.surface").as("dst"))
+    // (a) exact edges through the normalized form (star, not all-pairs)
+    val exactEdges = exactNormEdges(withNorm)
 
     // (b) near-dup edges: minhash signatures over char shingles
     val sh = charShingles(s, shingleK)
@@ -91,10 +102,7 @@ object Canonicalizer {
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
     val s = surfaces.select(col("surface")).distinct().cache()
     val withNorm = s.withColumn("norm", Extractor.normalizeCol(col("surface")))
-    val exactEdges = withNorm.as("x")
-      .join(withNorm.as("y"),
-        col("x.norm") === col("y.norm") && col("x.surface") < col("y.surface"))
-      .select(col("x.surface").as("src"), col("y.surface").as("dst"))
+    val exactEdges = exactNormEdges(withNorm)
 
     val shingleSets = charShingles(s, shingleK)
       .groupBy("surface").agg(collect_set(col("shingle")).as("shingles"))

@@ -66,10 +66,19 @@ object EntityLinker {
     element_at(ordered, 1)
   }
 
-  /** turns(..., text) -> one row per ambiguous mention:
+  /** turns(..., text) -> one row per DISTINCT ambiguous alias present in the
+    * turn (repeated occurrences of the same alias within one turn collapse
+    * to a single row — the mention test is set-based): output columns are
     * (input columns..., mention, entity, score). Map-only.
+    *
+    * The three output columns are appended; to avoid silently overwriting
+    * data from an earlier stage, the input schema must not already contain
+    * `mention`, `entity`, or `score` (fails fast otherwise).
     */
   def link(turns: DataFrame, textCol: String = "text"): DataFrame = {
+    val clash = Seq("link", "mention", "entity", "score").filter(turns.columns.contains)
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.mkString(", ")} — rename them before link()")
     val toks = split(Extractor.normalizeCol(col(textCol)), " ")
     val perAlias = aliases.map { alias =>
       val best = bestOf(toks, ambiguous(alias))

@@ -1,7 +1,6 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.gfunctions.xxh64_hex
@@ -39,14 +38,24 @@ object GraphTables {
   /** Dense-int vertex encoding (lodcc S11, `edgelist.py:108-148`).
     * The reference uses insertion order; we pin a deterministic lexicographic
     * order instead (documented deviation — the ids are only group keys).
-    * NOTE: row_number over a global window single-threads the id assignment;
-    * acceptable because the vertex dictionary is ~|V| << |E| and this path is
-    * opt-in. At extreme scale switch to zipWithIndex on the sorted vertex RDD.
+    *
+    * Scale shape: a global `row_number()` window would pull the entire vertex
+    * set through one task (a guaranteed straggler at the reference's own 614M
+    * vertices). Instead: range-repartition on vhash + sort within partitions
+    * (a distributed sort, every partition a contiguous ordered slice), then
+    * `zipWithIndex` — which assigns globally consecutive ids with one extra
+    * count job and no single-partition stage.
     */
-  def vertexIds(edges: DataFrame): DataFrame = {
+  def vertexIds(edges: DataFrame, partitions: Int = 32): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val vs = edges.select(col("src").as("vhash"))
       .union(edges.select(col("dst").as("vhash"))).distinct()
-    vs.withColumn("vid", row_number().over(Window.orderBy("vhash")).cast("long") - 1L)
+    vs.repartitionByRange(partitions, col("vhash"))
+      .sortWithinPartitions("vhash")
+      .as[String].rdd
+      .zipWithIndex()
+      .toDF("vhash", "vid")
   }
 
   /** Integer edgelist: join edges through the vertex-id dictionary twice. */

@@ -4,61 +4,158 @@ import org.apache.spark.sql.DataFrame
 
 import BgpMatcher.PatternEdge
 
-/** WatDiv-style query templates (lodcc's 4th entry point,
-  * `query/generator.py:190-271` + `query/watdiv/query_graphs.py` + the
-  * 20 mustache templates under `query/watdiv/templates/`): canned basic
-  * graph patterns whose
-  * embeddings in the data graph instantiate SPARQL query strings.
+/** The full WatDiv query-template inventory (lodcc's 4th entry point,
+  * `query/generator.py:62-121` + `query/watdiv/query_graphs.py:3-381` + the
+  * 20 mustache templates under `query/watdiv/templates/`): 20 canned basic
+  * graph patterns in four structural families — L (linear), S (star),
+  * F (snowflake), C (complex) — whose embeddings in the data graph
+  * instantiate SPARQL query strings.
   *
-  * The reference ships 20 template graphs (L/S/F/C families: linear, star,
-  * snowflake, complex). We model the three structural families; adding more
-  * is data, not code.
+  * Faithful semantics: the reference matches the UNLABELED query structure
+  * (graph-tool `subgraph_isomorphism`) and fills each template's `{{eI}}`
+  * predicate slot and `{{eI_subj}}`/`{{eI_obj}}` constant slots from the
+  * matched data edges (`generator.py:85-101`) — predicates are OUTPUTS of
+  * the match. Each edge here additionally records the WatDiv predicate the
+  * template intends (from the reference's per-edge comments,
+  * `query_graphs.py:26-380`), so [[Template.labeled]] can run the
+  * label-constrained variant when the data graph carries those predicates.
+  *
+  * Documented deviation: SPARQL variable names follow the query graph's
+  * vertex ids (?v0..?vN) and the projection is "all non-constant vertices";
+  * the reference .tpl files use template-local names, which is cosmetic.
   */
 object QueryTemplates {
 
-  final case class Template(name: String, pattern: Seq[PatternEdge], sparql: String)
+  final case class Template(name: String, family: String,
+                            edges: Seq[PatternEdge], constSlots: Set[String]) {
 
-  /** Linear path L: ?a -> ?b -> ?c (watdiv l1.tpl analog). */
-  val l1: Template = Template(
-    "l1",
-    Seq(PatternEdge("a", "b"), PatternEdge("b", "c")),
-    """SELECT ?b ?c WHERE {
-      |  {{a}} ?p1 ?b .
-      |  ?b ?p2 ?c .
-      |}""".stripMargin)
+    /** All pattern variables, sorted. */
+    def vars: Seq[String] = edges.flatMap(e => Seq(e.s, e.o)).distinct.sorted
 
-  /** Star S: one subject, three objects (watdiv s* analog). */
-  val s1: Template = Template(
-    "s1",
-    Seq(PatternEdge("a", "b"), PatternEdge("a", "c"), PatternEdge("a", "d")),
-    """SELECT ?b ?c ?d WHERE {
-      |  {{a}} ?p1 ?b .
-      |  {{a}} ?p2 ?c .
-      |  {{a}} ?p3 ?d .
-      |}""".stripMargin)
+    /** Constant slot ("e1_subj") -> the pattern variable it is filled from. */
+    def constVars: Map[String, String] = constSlots.iterator.map { slot =>
+      val i = slot.drop(1).takeWhile(_.isDigit).toInt
+      slot -> (if (slot.endsWith("_subj")) edges(i).s else edges(i).o)
+    }.toMap
 
-  /** Complex C: diamond a->b->d, a->c->d (watdiv c* analog). */
-  val c1: Template = Template(
-    "c1",
-    Seq(PatternEdge("a", "b"), PatternEdge("b", "d"),
-      PatternEdge("a", "c"), PatternEdge("c", "d")),
-    """SELECT ?b ?c WHERE {
-      |  {{a}} ?p1 ?b . ?b ?p2 {{d}} .
-      |  {{a}} ?p3 ?c . ?c ?p4 {{d}} .
-      |}""".stripMargin)
+    /** Structure-only pattern (the reference's matching mode). */
+    def structural: Seq[PatternEdge] = edges.map(_.copy(label = None))
 
-  val all: Seq[Template] = Seq(l1, s1, c1)
+    /** Label-constrained pattern: WatDiv predicates mapped through `rename`
+      * onto the data graph's label vocabulary.
+      */
+    def labeled(rename: String => String): Seq[PatternEdge] =
+      edges.map(pe => pe.copy(label = pe.label.map(rename)))
 
-  /** lodcc flow: find up to `maxN` embeddings of each template in the data
-    * graph and render one SPARQL string per embedding (template vars bound
-    * to the matched vertex surface forms).
+    /** SPARQL text with `{{eI}}` predicate slots and `{{eI_subj/obj}}`
+      * constant slots, rendered per embedding by [[QueryTemplates.instantiate]].
+      */
+    lazy val sparql: String = {
+      val constOf = constVars.map(_.swap) // variable -> slot
+      def term(v: String): String =
+        constOf.get(v).map(s => s"{{$s}}").getOrElse(s"?$v")
+      val lines = edges.zipWithIndex.map { case (pe, i) =>
+        s"  ${term(pe.s)} {{e$i}} ${term(pe.o)} ."
+      }
+      val selected = vars.filterNot(constOf.keySet)
+      s"SELECT ${selected.map("?" + _).mkString(" ")} WHERE {\n${lines.mkString("\n")}\n}"
+    }
+  }
+
+  /** Shorthand constructor: edges as (srcIdx, dstIdx, watdivPredicate|null). */
+  private def t(name: String, family: String, consts: String*)(
+      es: (Int, Int, String)*): Template =
+    Template(name, family,
+      es.map { case (s, o, p) => PatternEdge(s"v$s", s"v$o", Option(p)) },
+      consts.toSet)
+
+  // ---- L: linear (query_graphs.py:3-67) --------------------------------
+  val l1: Template = t("l1", "L", "e0_obj")(
+    (0, 1, null), (0, 2, null), (2, 3, null))
+  val l2: Template = t("l2", "L", "e2_subj", "e0_obj")(
+    (2, 3, "wsdbm:likes"), (2, 1, "sorg:nationality"), (0, 1, "gn:parentCountry"))
+  val l3: Template = t("l3", "L", "e1_obj")(
+    (0, 1, "wsdbm:likes"), (0, 2, "wsdbm:subscribes"))
+  val l4: Template = t("l4", "L", "e0_obj")(
+    (0, 1, "og:tag"), (0, 2, "sorg:caption"))
+  val l5: Template = t("l5", "L")(
+    (0, 1, "sorg:jobTitle"), (0, 3, "sorg:nationality"), (2, 3, "gn:parentCountry"))
+
+  // ---- S: star (query_graphs.py:69-192) --------------------------------
+  val s1: Template = t("s1", "S", "e1_subj")(
+    (0, 1, "gr:includes"), (2, 0, "gr:offers"), (0, 3, "gr:price"),
+    (0, 4, "gr:serial_number"), (0, 5, "gr:validFrom"), (0, 6, "gr:validThrough"),
+    (0, 7, "sorg:eligible_Region"), (0, 8, "sorg:eligible_Region"),
+    (0, 9, "gr:priceValidUntil"))
+  val s2: Template = t("s2", "S", "e1_obj")(
+    (0, 1, "dc:Location"), (0, 2, "sorg:nationality"), (0, 3, "wsdbm:gender"),
+    (0, 4, "rdf:type"))
+  val s3: Template = t("s3", "S", "e0_obj")(
+    (0, 1, "rdf:type"), (0, 2, "sorg:caption"), (0, 3, "wsdbm:hasGenre"),
+    (0, 4, "sorg:publisher"))
+  val s4: Template = t("s4", "S", "e0_obj")(
+    (0, 1, "foaf:age"), (0, 2, "foaf:familyName"), (3, 0, "mo:artist"),
+    (0, 4, "sorg:nationality"))
+  val s5: Template = t("s5", "S", "e0_obj", "e3_obj")(
+    (0, 1, "dc:Location"), (0, 2, "sorg:nationality"), (0, 3, "wsdbm:gender"),
+    (0, 4, "rdf:type"))
+  val s6: Template = t("s6", "S", "e2_obj")(
+    (0, 1, "mo:conductor"), (0, 2, "rdf:type"), (0, 3, "wsdbm:hasGenre"))
+  val s7: Template = t("s7", "S", "e2_subj")(
+    (0, 1, "rdf:type"), (0, 2, "sorg:text"), (3, 0, "wsdbm:likes"))
+
+  // ---- F: snowflake (query_graphs.py:194-307) --------------------------
+  val f1: Template = t("f1", "F", "e0_obj", "e4_obj")(
+    (0, 1, "og:tag"), (0, 2, "rdf:type"), (3, 0, "wsdbm:hasGenre"),
+    (3, 4, "sorg:trailer"), (3, 5, "rdf:type"), (3, 6, "sorg:keywords"))
+  val f2: Template = t("f2", "F", "e7_obj")(
+    (0, 1, "foaf:homepage"), (0, 2, "og:title"), (0, 3, "rdf:type"),
+    (0, 4, "sorg:caption"), (0, 5, "sorg:description"), (1, 6, "sorg:url"),
+    (1, 7, "wsdbm:hits"), (0, 8, "wsdbm:hasGenre"))
+  val f3: Template = t("f3", "F", "e2_obj")(
+    (0, 1, "sorg:contentRating"), (0, 2, "sorg:contentSize"),
+    (0, 3, "wsdbm:hasGenre"), (5, 0, "wsdbm:purchaseFor"),
+    (4, 5, "wsdbm:makesPurchase"), (5, 6, "wsdbm:purchaseDate"))
+  val f4: Template = t("f4", "F", "e2_obj", "e8_obj")(
+    (0, 1, "foaf:homepage"), (2, 0, "gr:includes"), (0, 3, "og:title"),
+    (0, 4, "sorg:description"), (0, 8, "sorg:contentSize"), (1, 5, "sorg:url"),
+    (1, 6, "wsdbm:hits"), (7, 1, "wsdbm:likes"), (1, 9, "sorg:language"))
+  val f5: Template = t("f5", "F", "e1_subj")(
+    (0, 1, "gr:includes"), (2, 0, "gr:offers"), (0, 3, "gr:price"),
+    (0, 4, "gr:validThrough"), (1, 5, "og:title"), (1, 6, "rdf:type"))
+
+  // ---- C: complex (query_graphs.py:309-381) ----------------------------
+  val c1: Template = t("c1", "C")(
+    (0, 1, "sorg:caption"), (0, 2, "sorg:text"), (0, 3, "sorg:contentRating"),
+    (0, 4, "rev:hasReview"), (4, 5, "rev:title"), (4, 6, "rev:reviewer"),
+    (7, 6, "sorg:actor"), (7, 8, "sorg:language"))
+  val c2: Template = t("c2", "C", "e3_obj")(
+    (0, 1, "sorg:legalName"), (0, 2, "gr:offers"), (2, 3, "gr:includes"),
+    (2, 5, "sorg:eligibleRegion"), (3, 8, "sorg:actor"), (8, 9, "rev:totalVotes"),
+    (7, 3, "wsdbm:purchaseFor"), (4, 7, "wsdbm:makesPurchase"),
+    (4, 10, "sorg:jobTitle"), (4, 6, "foaf:homepage"))
+  val c3: Template = t("c3", "C")(
+    (0, 1, "wsdbm:likes"), (0, 2, "wsdbm:friendOf"), (0, 3, "dc:Location"),
+    (0, 4, "foaf:age"), (0, 5, "wsdbm:gender"), (0, 6, "foaf:givenName"))
+
+  val all: Seq[Template] = Seq(
+    l1, l2, l3, l4, l5, s1, s2, s3, s4, s5, s6, s7,
+    f1, f2, f3, f4, f5, c1, c2, c3)
+
+  def byName(name: String): Template = all.find(_.name == name).get
+
+  /** lodcc flow (`generator.py:62-121`): find up to `maxN` structural
+    * embeddings of the template in the data graph, then render one SPARQL
+    * string per embedding — `{{eI}}` filled with the matched edge's
+    * predicate, `{{eI_subj/obj}}` with the matched constant vertices.
     */
   def instantiate(edges: DataFrame, template: Template, maxN: Int = 3): Seq[String] = {
-    val m = BgpMatcher.find(edges, template.pattern, maxN)
-    val vars = m.columns
+    val m = BgpMatcher.find(edges, template.structural, maxN, keepEdgeLabels = true)
+    val cols = m.columns
     m.collect().toSeq.map { row =>
-      val binding = vars.zipWithIndex.map { case (v, i) => v -> row.getString(i) }.toMap
-      BgpMatcher.render(template.sparql, binding)
+      val binding = cols.zipWithIndex.map { case (c, i) => c -> row.getString(i) }.toMap
+      val full = binding ++ template.constVars.map { case (slot, v) => slot -> binding(v) }
+      BgpMatcher.render(template.sparql, full)
     }
   }
 }

@@ -67,18 +67,42 @@ object Similarity {
   }
 
   /** Bucketed ANN: exact cosine only within the query's LSH bucket — the
-    * scale path (bucket join instead of query x corpus).
+    * scale path (bucket join instead of query x corpus). Single-probe;
+    * see [[lshTopKMultiProbe]] for the recall-recovering variant.
     */
   def lshTopK(embs: DataFrame, idCol: String, vecCol: String,
-              queryPred: Column, planes: Int, k: Int): DataFrame = {
+              queryPred: Column, planes: Int, k: Int): DataFrame =
+    lshTopKMultiProbe(embs, idCol, vecCol, queryPred, planes, k, probeHamming = 0)
+
+  /** Multi-probe bucketed ANN: each query probes its own bucket plus every
+    * bucket within Hamming distance `probeHamming` of it (a near hyperplane
+    * flips one sign bit, so the true neighbor is usually one bit away —
+    * single-probe recall drops exactly there). probeHamming=1 probes
+    * `planes + 1` buckets per query: candidate volume grows linearly with
+    * planes while the corpus side stays a plain bucket equi-join, which is
+    * the scale-correct shape (never query x corpus).
+    */
+  def lshTopKMultiProbe(embs: DataFrame, idCol: String, vecCol: String,
+                        queryPred: Column, planes: Int, k: Int,
+                        probeHamming: Int = 1): DataFrame = {
+    require(probeHamming <= 1, "probeHamming > 1 multiplies candidates combinatorially")
     val buckets = lshBucket(embs, idCol, vecCol, planes)
     val corpus = embs.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
       .join(buckets, "id")
-    val qs = embs.where(queryPred)
+    val qs0 = embs.where(queryPred)
       .select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
       .join(buckets.select(col("id").as("query_id"), col("bucket").as("qbucket")), "query_id")
+    // probe set: own bucket (+ each single-bit flip when probeHamming=1)
+    val qs =
+      if (probeHamming == 0) qs0.withColumn("probe", col("qbucket"))
+      else qs0.select(col("query_id"), col("qv"),
+        explode(array((col("qbucket") +:
+          (0 until planes).map(p => col("qbucket").bitwiseXOR(lit(1L << p)))): _*))
+          .as("probe"))
+    // the probe values of one query are pairwise distinct buckets, so each
+    // (query, candidate) pair joins through exactly one probe — no dedup
     val scored = qs.join(corpus,
-      col("qbucket") === col("bucket") && col("query_id") =!= col("id"))
+      col("probe") === col("bucket") && col("query_id") =!= col("id"))
       .withColumn("sim", round(cosine(col("qv"), col("v")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))

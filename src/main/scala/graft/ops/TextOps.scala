@@ -39,20 +39,35 @@ object TextOps {
       .as(Seq("pos", "shingle")))
   }
 
-  /** Per-document 16-bit SimHash over token multiset. Bit j is set iff the
-    * sum over tokens of (2*bit_j(h31(token)) - 1) is > 0.
+  /** Per-document SimHash over the token multiset: bit j is set iff the sum
+    * over tokens of (2*bit_j(hash(token)) - 1) is > 0.
+    *
+    * `bits` defaults to 60 — the full width of [[portableHash64]]. The
+    * original 16-bit variant ([[simhash16]]) has only 65,536 distinct values,
+    * so at web scale every banded bucket holds millions of documents and the
+    * candidate join explodes; 60 bits keeps band keys selective (2^15 values
+    * per 15-bit band) and the false-candidate rate negligible.
     */
-  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              bits: Int = 60): DataFrame = {
+    require(bits >= 1 && bits <= 60, "portableHash64 provides 60 hash bits")
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", portableHash31(col("tok")))
-    val bits = toks.select(col(idCol), col("h"),
-      explode(sequence(lit(0), lit(15))).as("j"))
+      .withColumn("h",
+        if (bits <= 31) portableHash31(col("tok")) else portableHash64(col("tok")))
+    val bcols = toks.select(col(idCol), col("h"),
+      explode(sequence(lit(0), lit(bits - 1))).as("j"))
       .withColumn("contrib", expr("(shiftright(h, j) & 1) * 2 - 1"))
-    bits.groupBy(idCol, "j").agg(sum("contrib").as("s"))
+    bcols.groupBy(idCol, "j").agg(sum("contrib").as("s"))
       .withColumn("bit",
         when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
       .groupBy(idCol).agg(sum("bit").as("simhash"))
   }
+
+  /** Legacy 16-bit SimHash (kept for API compatibility; prefer [[simhash]]
+    * — 16 bits is a scale anti-pattern, see the simhash scaladoc).
+    */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhash(docs, idCol, textCol, bits = 16)
 
   /** Winnowing-style fingerprints: k-shingle hashes, min over a window of
     * `w` consecutive shingles, distinct mins per document.

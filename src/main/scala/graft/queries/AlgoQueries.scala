@@ -35,8 +35,12 @@ object AlgoQueries {
       |  SELECT 'c' || (c_custkey % 40) AS src, 'n' || c_nationkey AS dst FROM customer
       |)""".stripMargin
 
-  /** Unrolled PageRank recurrence r0..r10 (graft.algo.PageRank.runFixed). */
-  private def pagerankSql(iters: Int): String = {
+  /** Unrolled PageRank recurrence r0..r10 (graft.algo.PageRank.runFixed).
+    * `finalSelect` renders the terminal SELECT over the last step's table.
+    */
+  private def pagerankSql(iters: Int,
+      finalSelect: String => String = last =>
+        s"SELECT vertex, CAST(round(rank, 6) AS DOUBLE) AS rank FROM $last ORDER BY vertex"): String = {
     val steps = (1 to iters).map { k =>
       s"""r$k AS (
          |  SELECT v.v AS vertex, CAST(0.15 + 0.85 * coalesce(c.s, 0) AS DOUBLE) AS rank
@@ -52,7 +56,7 @@ object AlgoQueries {
        |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM ge UNION ALL SELECT dst FROM ge) u),
        |r0 AS (SELECT v AS vertex, CAST(0.15 AS DOUBLE) AS rank FROM verts),
        |$steps
-       |SELECT vertex, CAST(round(rank, 6) AS DOUBLE) AS rank FROM r$iters ORDER BY vertex""".stripMargin
+       |${finalSelect(s"r$iters")}""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -64,6 +68,12 @@ object AlgoQueries {
       PageRank.runFixed(smallEdges(s, dir), iters = 10)
         .select(col("vertex"), round(col("rank"), 6).as("rank"))
         .orderBy("vertex")),
+
+    // rank-value distribution table (A12 parity with lodcc's pagerank plot,
+    // `centrality.py:57-79`)
+    "kg_pagerank_distribution" -> ((s, dir) =>
+      PageRank.distribution(PageRank.runFixed(smallEdges(s, dir), iters = 10))
+        .orderBy("rank")),
 
     "kg_bfs" -> ((s, dir) =>
       Bfs.distances(smallEdges(s, dir), "c1").orderBy("vertex")),
@@ -140,6 +150,10 @@ object AlgoQueries {
          |) comp GROUP BY component ORDER BY component""".stripMargin,
 
     "kg_pagerank" -> pagerankSql(10),
+
+    "kg_pagerank_distribution" -> pagerankSql(10, last =>
+      s"""SELECT CAST(round(rank, 6) AS DOUBLE) AS rank, CAST(count(*) AS BIGINT) AS cnt
+         |FROM $last GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "kg_bfs" ->
       s"""$smallCte

@@ -39,7 +39,11 @@ object DocQueries {
     }),
 
     "doc_shingle_jaccard" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 3, minJ = 0.0)
+      // maxDf = 5 exercises the blocking-key frequency cap (stop-shingle
+      // guard): candidates only through shingles with df <= 5, Jaccard
+      // still exact over the full shingle sets. The oracle mirrors the cap.
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        k = 3, minJ = 0.0, maxDf = 5)
       roundDoubles(pairs.agg(
         count(lit(1)).as("cand_pairs"),
         count(when(col("jaccard") >= 0.2, 1)).as("pairs_ge_02"),
@@ -55,12 +59,17 @@ object DocQueries {
     }),
 
     "doc_simhash" -> ((s, dir) => {
-      val sh = TextOps.simhash16(docs(s, dir), "doc_id", "text")
+      // 60-bit SimHash (the web-scale width), 4 bands x 15 bits — the
+      // pigeonhole blocking stays lossless for Hamming <= 3 while band keys
+      // have 2^15 values instead of the 16 of the old nibble bands
+      val sh = TextOps.simhash(docs(s, dir), "doc_id", "text")
       val pairs = Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
       sh.agg(
         count_distinct(col("simhash")).as("distinct_simhash"),
-        sum("simhash").as("sum_simhash"))
-        .crossJoin(pairs.agg(count(lit(1)).as("pairs_hamming_le3")))
+        sum(col("simhash") % 1000003L).as("simhash_checksum"))
+        .crossJoin(pairs.agg(
+          count(lit(1)).as("pairs_hamming_le3"),
+          coalesce(sum("hamming"), lit(0L)).as("sum_hamming")))
     }),
 
     "doc_langid" -> ((s, dir) => {
@@ -122,6 +131,17 @@ object DocQueries {
         coalesce(sum(col("a") + col("b")), lit(0L)).as("pair_checksum"))
     }),
 
+    "emb_dedup_cosine_blocked" -> ((s, dir) => {
+      // block-size guard path: every label block at sf0.01 exceeds
+      // maxBlock=40, so all of them route through sign-LSH sub-blocking
+      // (4 planes) before the quadratic pair scan; oracle mirrors exactly
+      val pairs = Dedup.embeddingCosinePairs(embs(s, dir), "vec_id", "embedding",
+        "label", minCos = 0.2, maxBlock = 40, subBlockPlanes = 4)
+      pairs.agg(
+        count(lit(1)).as("pairs_cos_ge_02"),
+        coalesce(sum(col("a") + col("b")), lit(0L)).as("pair_checksum"))
+    }),
+
     "emb_lsh_buckets" -> ((s, dir) => {
       val b = Similarity.lshBucket(embs(s, dir), "vec_id", "embedding", planes = 8)
       val sizes = b.groupBy("bucket").agg(count(lit(1)).as("c"))
@@ -130,6 +150,12 @@ object DocQueries {
         max("c").as("max_bucket"),
         sum(col("c") * col("c")).as("sum_bucket_sq"))
     }),
+
+    "emb_lsh_multiprobe" -> ((s, dir) =>
+      // multi-probe ANN: own bucket + all 1-bit-flip buckets per query
+      Similarity.lshTopKMultiProbe(embs(s, dir), "vec_id", "embedding",
+        col("vec_id") < 10, planes = 8, k = 3, probeHamming = 1)
+        .orderBy("query_id", "rank")),
 
     "mm_decode_meta" -> ((s, dir) => {
       val media = docs(s, dir).select(
@@ -196,9 +222,19 @@ object DocQueries {
     "doc_shingle_jaccard" ->
       s"""WITH $shCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         |blocked AS (
+         |  SELECT sh.doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle)
+         |  WHERE dfreq.df <= 5),
+         |cands AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM blocked x JOIN blocked y
+         |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
          |pairs AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  SELECT c.a, c.b, count(*) AS inter
+         |  FROM cands c
+         |  JOIN sh sa ON sa.doc_id = c.a
+         |  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
          |  GROUP BY 1, 2),
          |j AS (
          |  SELECT p.a, p.b,
@@ -235,26 +271,29 @@ object DocQueries {
 
     "doc_simhash" ->
       """WITH toks AS (
-        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT & 2147483647 AS h
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t),
         |bits AS (
         |  SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS s
-        |  FROM toks, LATERAL unnest(generate_series(0, 15)) g(j)
+        |  FROM toks, LATERAL unnest(generate_series(0, 59)) g(j)
         |  GROUP BY 1, 2),
         |simhashes AS (
-        |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
         |  FROM bits GROUP BY doc_id),
         |banded AS (
-        |  SELECT doc_id, band, (simhash >> (band * 4)) & 15 AS key, simhash
+        |  SELECT doc_id, band, (simhash >> (band * 15)) & 32767 AS key, simhash
         |  FROM simhashes, LATERAL unnest(generate_series(0, 3)) g(band)),
         |cands AS (
         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
         |  FROM banded x JOIN banded y
         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-        |pairs AS (SELECT * FROM cands WHERE bit_count(xor(sa, sb)) <= 3)
+        |pairs AS (SELECT *, bit_count(xor(sa, sb)) AS hamming
+        |          FROM cands WHERE bit_count(xor(sa, sb)) <= 3)
         |SELECT (SELECT CAST(count(DISTINCT simhash) AS BIGINT) FROM simhashes) AS distinct_simhash,
-        |       (SELECT CAST(sum(simhash) AS BIGINT) FROM simhashes) AS sum_simhash,
-        |       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS pairs_hamming_le3""".stripMargin,
+        |       (SELECT CAST(sum(simhash % 1000003) AS BIGINT) FROM simhashes) AS simhash_checksum,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS pairs_hamming_le3,
+        |       (SELECT CAST(coalesce(sum(hamming), 0) AS BIGINT) FROM pairs) AS sum_hamming""".stripMargin,
 
     "doc_langid" -> {
       val langs = Markers.keys.toSeq.sorted
@@ -337,6 +376,32 @@ object DocQueries {
         |       CAST(coalesce(sum(a + b), 0) AS BIGINT) AS pair_checksum
         |FROM pairs""".stripMargin,
 
+    "emb_dedup_cosine_blocked" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bsz AS (SELECT label, count(*) AS c FROM e GROUP BY label),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |         list_dot_product(v, list_transform(generate_series(0, 63),
+        |           d -> CAST((p * 37 + d * 11) % 13 - 6 AS DOUBLE))) AS dp
+        |  FROM e, LATERAL unnest(generate_series(0, 3)) g(p)),
+        |buckets AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |e2 AS (
+        |  SELECT e.vec_id,
+        |         CASE WHEN b.c > 40 THEN e.label::VARCHAR || '#' || bk.bucket::VARCHAR
+        |              ELSE e.label::VARCHAR END AS blk,
+        |         e.v
+        |  FROM e JOIN bsz b USING (label) JOIN buckets bk ON bk.vec_id = e.vec_id),
+        |pairs AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b
+        |  FROM e2 x JOIN e2 y ON x.blk = y.blk AND x.vec_id < y.vec_id
+        |  WHERE list_dot_product(x.v, y.v) /
+        |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.2)
+        |SELECT CAST(count(*) AS BIGINT) AS pairs_cos_ge_02,
+        |       CAST(coalesce(sum(a + b), 0) AS BIGINT) AS pair_checksum
+        |FROM pairs""".stripMargin,
+
     "emb_lsh_buckets" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |dots AS (
@@ -352,6 +417,37 @@ object DocQueries {
         |       CAST(max(c) AS BIGINT) AS max_bucket,
         |       CAST(sum(c * c) AS BIGINT) AS sum_bucket_sq
         |FROM sizes""".stripMargin,
+
+    "emb_lsh_multiprobe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |         list_dot_product(v, list_transform(generate_series(0, 63),
+        |           d -> CAST((p * 37 + d * 11) % 13 - 6 AS DOUBLE))) AS dp
+        |  FROM e, LATERAL unnest(generate_series(0, 7)) g(p)),
+        |buckets AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |corpus AS (SELECT e.vec_id AS id, e.v, b.bucket FROM e JOIN buckets b USING (vec_id)),
+        |q AS (
+        |  SELECT e.vec_id AS query_id, e.v AS qv, b.bucket AS qbucket
+        |  FROM e JOIN buckets b USING (vec_id) WHERE e.vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, qv,
+        |         unnest(list_prepend(qbucket,
+        |           list_transform(generate_series(0, 7), p -> xor(qbucket, CAST(1 AS BIGINT) << p)))) AS probe
+        |  FROM q),
+        |scored AS (
+        |  SELECT p.query_id, c.id,
+        |         CAST(round(list_dot_product(p.qv, c.v) /
+        |               (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS DOUBLE) AS sim
+        |  FROM probes p JOIN corpus c ON c.bucket = p.probe AND c.id <> p.query_id),
+        |ranked AS (
+        |  SELECT query_id, id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, id AS neighbor_id, sim
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "mm_decode_meta" ->
       """WITH meta AS (

@@ -17,6 +17,23 @@ object ExtractQueries {
   private val oAliases = Gazetteer.orgs.flatMap(_.aliases)
   private val lAliases = Gazetteer.places.flatMap(_.aliases)
 
+  /** SQL-literal hygiene for the oracle twins: every constant interpolated
+    * into a VALUES list below must need no quoting/escaping. Asserted at
+    * class-load so a future vocabulary entry with an apostrophe (or any
+    * other SQL metacharacter) fails loudly instead of silently producing
+    * broken oracle SQL.
+    */
+  private def sqlSafe(items: Iterable[String]): Unit = {
+    // a single quote or backslash would break the quoted literal; anything
+    // else is inert inside '...'
+    val bad = items.filter(s => s.contains("'") || s.contains("\\"))
+    require(bad.isEmpty, s"SQL-unsafe vocabulary entries: ${bad.mkString(", ")}")
+  }
+  sqlSafe(pAliases); sqlSafe(oAliases); sqlSafe(lAliases)
+  sqlSafe(Gazetteer.aliasToId.keys); sqlSafe(Gazetteer.aliasToId.values)
+  sqlSafe(EntityLinker.aliases); sqlSafe(EntityLinker.allKeywords)
+  sqlSafe(EntityLinker.ambiguous.values.flatten.map(_.id))
+
   private def valuesCte(name: String, items: Seq[String]): String =
     items.zipWithIndex
       .map { case (a, i) => s"($i, '$a')" }

@@ -34,7 +34,9 @@ object GraphQueries2 {
       |  SELECT 'r' || r_regionkey AS src, 'c' || (r_regionkey * 8) AS dst FROM region
       |)""".stripMargin
 
-  private def eigenvectorSql(iters: Int): String = {
+  private def eigenvectorSql(iters: Int,
+      finalSelect: String => String = last =>
+        s"SELECT vertex, CAST(round(ev, 6) AS DOUBLE) AS ev FROM $last ORDER BY vertex"): String = {
     val steps = (1 to iters).map { k =>
       s"""x$k AS (
          |  SELECT vertex, CASE WHEN nrm = 0 THEN s ELSE s / nrm END AS ev FROM (
@@ -49,7 +51,7 @@ object GraphQueries2 {
        |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM ge UNION ALL SELECT dst FROM ge) u),
        |x0 AS (SELECT v AS vertex, 1.0 / sqrt((SELECT count(*) FROM verts)) AS ev FROM verts),
        |$steps
-       |SELECT vertex, CAST(round(ev, 6) AS DOUBLE) AS ev FROM x$iters ORDER BY vertex""".stripMargin
+       |${finalSelect(s"x$iters")}""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -57,6 +59,12 @@ object GraphQueries2 {
       Eigenvector.runFixed(cyclicEdges(s, dir), iters = 8)
         .select(col("vertex"), round(col("ev"), 6).as("ev"))
         .orderBy("vertex")),
+
+    // centrality-value distribution table (A12 parity with lodcc's
+    // eigenvector plot, `centrality.py:100-122`)
+    "kg_eigenvector_distribution" -> ((s, dir) =>
+      Eigenvector.distribution(Eigenvector.runFixed(cyclicEdges(s, dir), iters = 8))
+        .orderBy("ev")),
 
     "kg_clustering" -> ((s, dir) =>
       Triangles.clustering(liEdges(s, dir))
@@ -67,6 +75,10 @@ object GraphQueries2 {
 
   val oracleSql: Map[String, String] = Map(
     "kg_eigenvector" -> eigenvectorSql(8),
+
+    "kg_eigenvector_distribution" -> eigenvectorSql(8, last =>
+      s"""SELECT CAST(round(ev, 6) AS DOUBLE) AS ev, CAST(count(*) AS BIGINT) AS cnt
+         |FROM $last GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "kg_clustering" ->
       s"""$edgesCte,

@@ -22,6 +22,31 @@ object MoreQueries {
         .select(round(col("alpha"), 6).as("alpha"), col("xmin")))
     }),
 
+    // in-degree power-law fit (lodcc `degree_based.py:168-173`:
+    // powerlaw_exponent_in_degree / _dmin)
+    "kg_powerlaw_in" -> ((s, dir) => {
+      val deg = Degrees.degrees(liEdges(s, dir))
+      roundDoubles(DistributionMeasures.powerlawFit(Degrees.histogram(deg, "in_deg"))
+        .select(round(col("alpha"), 6).as("alpha"), col("xmin")))
+    }),
+
+    // labeled snowflake match: WatDiv f1 with its predicates mapped onto the
+    // p0..p6 vocabulary, on a 512-vertex slice (density SF-bounded so the
+    // 6-way join stays tractable at every test scale)
+    "kg_bgp_snowflake" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_orderkey") % 4096 < 512 && col("l_partkey") % 4096 < 512)
+        .select(
+          concat(lit("v"), (col("l_orderkey") % 512).cast("string")).as("src"),
+          concat(lit("v"), (col("l_partkey") % 512).cast("string")).as("dst"),
+          concat(lit("p"), (col("l_suppkey") % 7).cast("string")).as("label"))
+      val pmap = Map("og:tag" -> "p1", "rdf:type" -> "p0", "wsdbm:hasGenre" -> "p2",
+        "sorg:trailer" -> "p3", "sorg:keywords" -> "p4")
+      val m = BgpMatcher.find(e, graft.matcher.QueryTemplates.f1.labeled(pmap))
+      m.agg(count(lit(1)).as("snowflake_embeddings"),
+        count_distinct(col("v3")).as("distinct_hubs"))
+    }),
+
     "kg_pseudo_diameter" -> ((s, dir) => {
       val nation = s.read.parquet(s"$dir/nation.parquet")
         .select(concat(lit("n"), col("n_nationkey").cast("string")).as("src"),
@@ -66,9 +91,9 @@ object MoreQueries {
     }),
   )
 
-  private def powerlawSql: String =
+  private def powerlawSql(column: String = "deg"): String =
     s"""$edgesCte,
-       |hist AS (SELECT CAST(deg AS DOUBLE) AS x, CAST(count(*) AS BIGINT) AS cnt FROM degv GROUP BY 1),
+       |hist AS (SELECT CAST($column AS DOUBLE) AS x, CAST(count(*) AS BIGINT) AS cnt FROM degv GROUP BY 1),
        |pos AS (SELECT * FROM hist WHERE x > 0),
        |pairs AS (SELECT c.x AS xmin, h.x, h.cnt FROM (SELECT x FROM pos) c JOIN pos h ON h.x >= c.x),
        |st AS (
@@ -127,8 +152,33 @@ object MoreQueries {
        |       THEN (SELECT vertex FROM far2) ELSE (SELECT vertex FROM far1) END AS pseudo_diameter_trg_vertex""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    "kg_powerlaw" -> powerlawSql,
+    "kg_powerlaw" -> powerlawSql(),
+    "kg_powerlaw_in" -> powerlawSql("in_deg"),
     "kg_pseudo_diameter" -> pseudoDiameterSql,
+
+    "kg_bgp_snowflake" ->
+      """WITH edges AS (
+        |  SELECT 'v' || (l_orderkey % 512) AS src,
+        |         'v' || (l_partkey % 512) AS dst,
+        |         'p' || (l_suppkey % 7) AS label
+        |  FROM lineitem
+        |  WHERE l_orderkey % 4096 < 512 AND l_partkey % 4096 < 512),
+        |m AS (
+        |  SELECT v0, v1, v2, v3, v4, v5, v6 FROM
+        |    (SELECT src AS v3, dst AS v0 FROM edges WHERE label = 'p2') e2
+        |    JOIN (SELECT src AS v3, dst AS v4 FROM edges WHERE label = 'p3') e3 USING (v3)
+        |    JOIN (SELECT src AS v3, dst AS v5 FROM edges WHERE label = 'p0') e4 USING (v3)
+        |    JOIN (SELECT src AS v3, dst AS v6 FROM edges WHERE label = 'p4') e5 USING (v3)
+        |    JOIN (SELECT src AS v0, dst AS v1 FROM edges WHERE label = 'p1') e0 USING (v0)
+        |    JOIN (SELECT src AS v0, dst AS v2 FROM edges WHERE label = 'p0') e1 USING (v0)
+        |  WHERE v0 <> v1 AND v0 <> v2 AND v0 <> v3 AND v0 <> v4 AND v0 <> v5 AND v0 <> v6
+        |    AND v1 <> v2 AND v1 <> v3 AND v1 <> v4 AND v1 <> v5 AND v1 <> v6
+        |    AND v2 <> v3 AND v2 <> v4 AND v2 <> v5 AND v2 <> v6
+        |    AND v3 <> v4 AND v3 <> v5 AND v3 <> v6
+        |    AND v4 <> v5 AND v4 <> v6 AND v5 <> v6)
+        |SELECT CAST(count(*) AS BIGINT) AS snowflake_embeddings,
+        |       CAST(count(DISTINCT v3) AS BIGINT) AS distinct_hubs
+        |FROM m""".stripMargin,
 
     "kg_sample_vertex" ->
       s"""$edgesCte,

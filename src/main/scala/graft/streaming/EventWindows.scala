@@ -52,4 +52,36 @@ object EventWindows {
     }
     spark.table(name)
   }
+
+  /** Production streaming shape — APPEND mode with watermark-driven state
+    * eviction: a window's row is emitted exactly once, when the watermark
+    * passes window_end + allowed lateness, and its state is then dropped,
+    * so state size is bounded by (watermark horizon / window length) per
+    * event_type regardless of stream length. [[tumblingCounts]] in complete
+    * mode re-emits everything and never evicts — fine as an oracle harness,
+    * unbounded as a service.
+    *
+    * The caller supplies the streaming DataFrame (file source, Kafka, or a
+    * test MemoryStream) with (ts, event_type, value) columns and owns the
+    * returned query's lifecycle; results accumulate in the `sinkName`
+    * memory table. Events later than the watermark are DROPPED (checked by
+    * StreamingSpec's late-data case).
+    */
+  def tumblingCountsAppend(events: DataFrame, sinkName: String,
+                           windowSec: Int = 300,
+                           lateness: String = "10 minutes")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val agg = events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), s"$windowSec seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), round(col("sum_value"), 6).as("sum_value"))
+    agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+  }
 }

@@ -61,6 +61,29 @@ class CanonSpec extends AnyFunSuite {
     assert(b("NEW YORK") == b("New York"))
   }
 
+  test("exact-norm edges are a star: g-1 edges for a 10^4-surface norm group") {
+    import org.apache.spark.sql.functions.col
+    // a web-scale hot normalized form (OCR noise / boilerplate): an all-pairs
+    // self-join would materialize ~5*10^7 pairs here; the star must emit g-1
+    val g = 10000
+    val withNorm = (0 until g).map(i => (f"s$i%05d", "same"))
+      .toDF("surface", "norm")
+    val edges = Canonicalizer.exactNormEdges(withNorm).cache()
+    assert(edges.count() == g - 1)
+    // all edges radiate from the hub (min surface), so CC canonical = hub
+    assert(edges.select("src").distinct().collect().map(_.getString(0)).toSeq == Seq("s00000"))
+    // and a group of 1 emits no edge
+    val single = Canonicalizer.exactNormEdges(
+      Seq(("only", "n1")).toDF("surface", "norm"))
+    assert(single.count() == 0)
+    edges.unpersist()
+    // end-to-end: canonicalize on case variants still merges via the star
+    val mapping = Canonicalizer.canonicalize(
+      Seq("AAA BBB", "aaa bbb", "Aaa Bbb").toDF("surface")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mapping.values.toSet.size == 1)
+  }
+
   test("applyTo rewrites triples through the canonical map") {
     val triples = Seq(
       ("c1", 0, "Ada Lovelace", "p", "Zürich"),

@@ -60,12 +60,84 @@ class MatcherSpec extends AnyFunSuite {
     val qs = QueryTemplates.instantiate(edges, QueryTemplates.l1, maxN = 2)
     assert(qs.nonEmpty && qs.size <= 2)
     qs.foreach { q =>
-      assert(q.contains("SELECT ?b ?c WHERE"))
-      assert(!q.contains("{{"), s"unbound template var in: $q") // all vars bound
+      // l1 projects the non-constant vertices (v1 is the e0_obj constant)
+      assert(q.contains("SELECT ?v0 ?v2 ?v3 WHERE"))
+      assert(!q.contains("{{"), s"unbound template var in: $q") // all slots bound
     }
-    // star template on a graph with a 2-out-degree hub only matches if some
-    // vertex has >= 3 distinct neighbors; our 5-edge fixture has none
+    // 9-edge star s1 needs a hub with >= 8 distinct out-neighbors; the
+    // 5-edge fixture has none
     assert(QueryTemplates.instantiate(edges, QueryTemplates.s1).isEmpty)
+  }
+
+  test("full WatDiv inventory: 20 templates, 4 families, all instantiable") {
+    import graft.matcher.QueryTemplates
+    assert(QueryTemplates.all.size == 20)
+    assert(QueryTemplates.all.map(_.family).distinct.sorted == Seq("C", "F", "L", "S"))
+    assert(QueryTemplates.all.map(_.name).distinct.size == 20)
+    QueryTemplates.all.foreach { t =>
+      // sparql text renders with one line per edge and every const slot used
+      assert(t.sparql.linesIterator.size == t.edges.size + 2, t.name)
+      t.constSlots.foreach(s => assert(t.sparql.contains(s"{{$s}}"), s"${t.name}:$s"))
+      // every template instantiates against the fixture without error
+      // (most find no embedding on 5 edges — that's the reference's
+      // "No isomorphisms found" path)
+      QueryTemplates.instantiate(edges, t, maxN = 1).foreach { q =>
+        assert(!q.contains("{{"), s"unbound slot in ${t.name}: $q")
+      }
+    }
+    // per-edge WatDiv predicate intents recorded (query_graphs.py comments)
+    assert(QueryTemplates.l2.edges.flatMap(_.label) ==
+      Seq("wsdbm:likes", "sorg:nationality", "gn:parentCountry"))
+  }
+
+  test("labeled snowflake f1 finds exactly the planted embedding") {
+    import graft.matcher.QueryTemplates
+    // plant one f1 embedding: hub h -genre-> m, m -tag-> t, m -type-> c1,
+    // h -trailer-> tr, h -type-> c2, h -keywords-> kw ... plus decoys
+    val g = Seq(
+      ("m", "t", "og:tag"), ("m", "c1", "rdf:type"),
+      ("h", "m", "wsdbm:hasGenre"), ("h", "tr", "sorg:trailer"),
+      ("h", "c2", "rdf:type"), ("h", "kw", "sorg:keywords"),
+      // decoys: right structure, wrong labels
+      ("h2", "m", "wsdbm:likes"), ("m", "x", "sorg:caption"))
+      .toDF("src", "dst", "label")
+    val rows = BgpMatcher.find(g, QueryTemplates.f1.labeled(identity)).collect()
+    assert(rows.length == 1)
+    val m = BgpMatcher.find(g, QueryTemplates.f1.labeled(identity), keepEdgeLabels = true)
+    val r = m.head()
+    val byName = m.columns.zipWithIndex.map { case (c, i) => c -> r.getString(i) }.toMap
+    assert(byName("v0") == "m" && byName("v3") == "h" && byName("e0") == "og:tag")
+    // structural instantiation (the reference's mode): on the decoy-free
+    // planted graph the star legs are symmetric, so exactly
+    // 2 (e0/e1 swap at v0) x 3! (v4,v5,v6 legs at v3) = 12 isomorphisms —
+    // graph-tool's subgraph_isomorphism returns the same multiplicity
+    val clean = g.where(org.apache.spark.sql.functions.col("label").isin(
+      "og:tag", "rdf:type", "wsdbm:hasGenre", "sorg:trailer", "sorg:keywords"))
+    val qs = QueryTemplates.instantiate(clean, QueryTemplates.f1, maxN = 0)
+    assert(qs.size == 12)
+    qs.foreach(q => assert(!q.contains("{{"), s"unbound slot: $q"))
+    // the label-faithful rendering appears among them, constants filled from
+    // the matched vertices (e0_obj -> t, e4_obj -> the matched v5)
+    assert(qs.exists(q => q.contains("?v0 og:tag t .") && q.contains("?v3 sorg:trailer tr .")))
+  }
+
+  test("disconnected pattern is rejected; connectable out-of-order pattern is reordered") {
+    // two islands -> must throw, not silently go cartesian
+    val bad = Seq(PatternEdge("a", "b"), PatternEdge("c", "d"))
+    val ex = intercept[IllegalArgumentException](BgpMatcher.find(edges, bad))
+    assert(ex.getMessage.contains("disconnected"))
+    // edge 2 connects to edge 1 only through edge 3: greedy reorder handles it
+    val outOfOrder = Seq(
+      PatternEdge("x", "y", Some("knows")),
+      PatternEdge("z", "w", Some("likes")), // shares nothing with edge 1 yet
+      PatternEdge("y", "z", Some("knows")))
+    val m = BgpMatcher.find(edges, outOfOrder)
+      .select("x", "y", "z", "w").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    // x-knows->y-knows->z-likes->w with all-distinct vertices:
+    // a->b->c->d? c-likes->d? no: likes edges are (a,c),(d,a)
+    // chains: a-b-c + c likes? none from c; b-c-d + d-likes->a: (b,c,d,a) ok
+    assert(m == Set(("b", "c", "d", "a")))
   }
 
   test("pseudo-diameter with largest-component semantics on fixture") {

@@ -59,6 +59,66 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L))) // hamming 0
   }
 
+  test("ngram jaccard df-cap: stop-shingle corpus stays bounded, scores stay exact") {
+    // pathological blocking key: one shingle shared by every doc. Uncapped,
+    // candidates = n*(n-1)/2 ~ 1.25M; with the cap, only the planted
+    // rare-shingle pair survives candidate generation.
+    val n = 200
+    val hot = (0 until n).map(i => (i.toLong, s"common stop shingle unique$i tail$i"))
+    val planted = Seq(
+      (9000L, "rare marker phrase alpha beta"),
+      (9001L, "rare marker phrase gamma delta"))
+    val corpus = (hot ++ planted).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", k = 3,
+      minJ = 0.0, maxDf = 10).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((9000L, 9001L)))
+    // jaccard EXACT over full shingle sets: docs have 3 shingles each,
+    // share 1 ("rare marker phrase") -> 1/5
+    assert(math.abs(pairs.head.getDouble(2) - 0.2) < 1e-12)
+    // maxDf <= 0 disables the cap: the hot key explodes candidates again
+    val uncapped = Dedup.ngramJaccardPairs(
+      corpus.where($"doc_id" < 20), "doc_id", "text", 3, 0.0, maxDf = 0)
+    assert(uncapped.count() == 20L * 19 / 2)
+  }
+
+  test("simhash 60-bit banding: lossless for hamming<=maxHamming, parity with brute force") {
+    val sh = TextOps.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 60)))
+    // banded pairs == brute-force pairs at the same threshold
+    for (maxH <- Seq(3, 5)) {
+      val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = (for {
+        (a, ha) <- sh.toSeq; (b, hb) <- sh.toSeq
+        if a < b && java.lang.Long.bitCount(ha ^ hb) <= maxH
+      } yield (a, b)).toSet
+      assert(banded == brute, s"maxHamming=$maxH")
+    }
+  }
+
+  test("embedding cosine pairs: sub-blocking caps oversized blocks, small blocks exact") {
+    val embs = (0 until 60).map { i =>
+      val v = Array.tabulate(8)(d => math.sin(i * 37 + d).toFloat)
+      (i.toLong, v, if (i < 50) "big" else "small")
+    }.toDF("vec_id", "embedding", "label")
+    val exact = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", "label", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", "label", 0.3,
+      maxBlock = 20, subBlockPlanes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // guard only DROPS pairs split by a hyperplane inside the big block
+    assert(guarded.subsetOf(exact))
+    // the small block (size 10 <= maxBlock) is untouched: its pairs all survive
+    val smallExact = exact.filter(_._1 >= 50)
+    assert(smallExact.subsetOf(guarded))
+    // a large maxBlock leaves everything exact
+    val loose = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", "label", 0.3,
+      maxBlock = 1000).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == exact)
+  }
+
   test("winnowing fingerprints: exact dups share all fingerprints") {
     val fp = TextOps.fingerprints(docs, "doc_id", "text", 3, 4)
     val byDoc = fp.collect().groupBy(_.getLong(0))
@@ -86,6 +146,31 @@ class OpsSpec extends AnyFunSuite {
       (1L, Array.fill(8)(1.0f)),
       (2L, Array.fill(8)(-1.0f))).toDF("vec_id", "embedding")
     val r = Similarity.lshTopK(embs, "vec_id", "embedding", $"vec_id" === 0, 4, 1).collect()
+    assert(r.length == 1 && r.head.getLong(2) == 1L)
+  }
+
+  test("multi-probe lsh: recovers neighbors one bit away, superset of single-probe") {
+    // 40 vectors in 2 antipodal families with per-vector jitter — jitter
+    // flips individual sign bits, so single-probe misses some same-family
+    // neighbors that 1-bit probing recovers
+    val embs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array.tabulate(8)(d => base + 0.4f * math.sin(i * 7 + d * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val single = Similarity.lshTopK(embs, "vec_id", "embedding", $"vec_id" < 6, 6, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val multi = Similarity.lshTopKMultiProbe(embs, "vec_id", "embedding", $"vec_id" < 6, 6, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // multi-probe candidate pool ⊇ single-probe pool, so per-query result
+    // count can only grow
+    val singleCnt = single.groupBy(_._1).view.mapValues(_.size).toMap
+    val multiCnt = multi.groupBy(_._1).view.mapValues(_.size).toMap
+    singleCnt.foreach { case (q, c) => assert(multiCnt.getOrElse(q, 0) >= c) }
+    // exact-dup sanity: identical vectors always bucket together
+    val dup = Seq((0L, Array.fill(8)(1.0f)), (1L, Array.fill(8)(1.0f)),
+      (2L, Array.fill(8)(-1.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.lshTopKMultiProbe(dup, "vec_id", "embedding", $"vec_id" === 0, 4, 1)
+      .collect()
     assert(r.length == 1 && r.head.getLong(2) == 1L)
   }
 

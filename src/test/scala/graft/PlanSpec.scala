@@ -67,6 +67,21 @@ class PlanSpec extends AnyFunSuite {
     assert(tail.contains("codegen id"), formatted.take(1200))
   }
 
+  test("vertexIds: no single-partition global window, ids == lexicographic row_number") {
+    val edges = Seq.tabulate(40)(i => (s"v${i % 13}", s"v${(i * 7) % 17}", "p"))
+      .toDF("src", "dst", "label")
+    val ids = graft.graph.GraphTables.vertexIds(edges, partitions = 4)
+    // the old scale-killer was Window.orderBy with no partitionBy — the plan
+    // must not contain a Window at all (range-partitioned sort + zipWithIndex)
+    assert(!planOf(ids).contains("Window"), planOf(ids).take(600))
+    val got = ids.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = got.keys.toSeq.sorted.zipWithIndex
+      .map { case (v, i) => v -> i.toLong }.toMap
+    assert(got == expected)
+    // dense 0..n-1
+    assert(got.values.toSeq.sorted == (0L until got.size).toSeq)
+  }
+
   test("dedup candidate joins are hash joins, never cartesian") {
     val docs = Seq.tabulate(30)(i => (i.toLong, s"w$i x y z common tail tokens here"))
       .toDF("doc_id", "text")

@@ -32,6 +32,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("append-mode windows: one finalized emission per window, late data dropped") {
+    import graft.streaming.EventWindows
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int, sec: Int = 0): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2026-01-01 00:$min%02d:$sec%02d")
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDS().toDF("ts", "event_type", "value")
+    val q = EventWindows.tumblingCountsAppend(events, "ev_append")
+    try {
+      // two events in window [00:00, 00:05)
+      input.addData((ts(0, 30), "a", 1.0), (ts(1), "a", 2.0))
+      q.processAllAvailable()
+      // watermark jumps to 00:20 - 10min = 00:10 >= window end -> finalize
+      input.addData((ts(20), "a", 5.0))
+      q.processAllAvailable()
+      // LATE event for the already-finalized window: must be dropped, the
+      // emitted row must not change or duplicate (bounded-state semantics)
+      input.addData((ts(2), "a", 100.0), (ts(21), "a", 7.0))
+      q.processAllAvailable()
+      val win0 = spark.table("ev_append")
+        .where($"win_start" === java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime / 1000)
+        .collect()
+      assert(win0.length == 1, s"window emitted ${win0.length} times")
+      assert(win0.head.getAs[Long]("n") == 2) // the late 100.0 event is NOT counted
+      assert(win0.head.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
   test("triple extraction runs unchanged on a streaming source (map-only)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Turn]
