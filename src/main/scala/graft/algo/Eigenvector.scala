@@ -22,27 +22,34 @@ object Eigenvector {
     var iter = 0
     var delta = Double.MaxValue
     while (delta > eps && iter < maxIter) {
-      val raw = links.join(x, links("src") === x("vertex"))
+      // ONE distributed job per iteration: the L2 norm is folded into the
+      // plan (crossJoin of a 1-row agg, like runFixed) and prev is carried
+      // in the same frame, so the convergence delta below reads only the
+      // just-cached localCheckpoint partitions instead of re-joining two
+      // frames in a second shuffle pass
+      val prev = x.withColumnRenamed("ev", "prev")
+      val raw = links.join(prev, links("src") === col("vertex"))
         .groupBy(col("dst").as("vertex"))
-        .agg(sum(col("ev")).as("s"))
-      val withAll = vertices.join(raw, Seq("vertex"), "left_outer")
-        .select(col("vertex"), coalesce(col("s"), lit(0.0)).as("s"))
-      val norm = math.sqrt(
-        withAll.agg(coalesce(sum(col("s") * col("s")), lit(0.0))).head().getDouble(0))
-      if (norm == 0.0) {
-        delta = 0.0 // graph has no cycles reachable: eigenvector degenerates
-        x = withAll.select(col("vertex"), col("s").as("ev")).localCheckpoint(true)
-      } else {
-        val next = withAll.select(col("vertex"), (col("s") / norm).as("ev")).localCheckpoint(true)
-        delta = next.join(x.withColumnRenamed("ev", "prev"), "vertex")
-          .agg(coalesce(sum(abs(col("ev") - col("prev"))), lit(0.0)))
-          .head().getDouble(0)
-        x = next
-      }
+        .agg(sum(col("prev")).as("s"))
+      val withAll = prev.join(raw, Seq("vertex"), "left_outer")
+        .select(col("vertex"), coalesce(col("s"), lit(0.0)).as("s"), col("prev"))
+      val normDF = withAll.agg(sqrt(coalesce(sum(col("s") * col("s")), lit(0.0))).as("nrm"))
+      val next = withAll.crossJoin(normDF)
+        .select(col("vertex"),
+          when(col("nrm") === 0.0, col("s")).otherwise(col("s") / col("nrm")).as("ev"),
+          col("prev"), col("nrm"))
+        .localCheckpoint(true)
+      val row = next.agg(
+        coalesce(sum(abs(col("ev") - col("prev"))), lit(0.0)),
+        coalesce(max(col("nrm")), lit(0.0))).head()
+      // norm 0 = no cycle feeds the iteration: eigenvector degenerates to 0,
+      // terminate (same semantics as the reference's fixed point)
+      delta = if (row.getDouble(1) == 0.0) 0.0 else row.getDouble(0)
+      x = next.select("vertex", "ev")
       iter += 1
     }
     links.unpersist(false)
-    x
+    x.select("vertex", "ev")
   }
 
   /** Fixed-iteration variant for the driver-checked oracle queries (the

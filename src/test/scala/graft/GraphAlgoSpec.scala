@@ -49,6 +49,38 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(top.getString(1) == "\"Roma\"@it")
   }
 
+  test("G1 pagerank: convergence check shuffles no per-vertex data (delta folded)") {
+    // the round-1 shape paid a full shuffle JOIN of two |V|-row frames per
+    // iteration just for the L1 delta; the fold carries prev in the update
+    // frame, so the delta agg reads cached partitions and shuffles only
+    // per-partition 1-row partials. Assert via shuffle-record accounting:
+    // run() vs runFixed() (no convergence check at all) may differ by at
+    // most a few records per iteration — never by O(|V|) per iteration.
+    val nv = 500
+    val edges = (0 until 2 * nv).map(i => (s"v${i % nv}", s"v${(i * 13 + 7) % nv}"))
+      .toDF("src", "dst")
+    def shuffleRecords(body: => Unit): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            n.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(500) } // listener bus drains async
+      finally spark.sparkContext.removeSparkListener(l)
+      n.get
+    }
+    val iters = 5
+    val fixed = shuffleRecords(PageRank.runFixed(edges, iters).collect())
+    val conv = shuffleRecords(PageRank.run(edges, eps = 0.0, maxIter = iters).collect())
+    val extraPerIter = (conv - fixed).toDouble / iters
+    // old shape: ~2|V| = 1000 extra shuffled records/iteration; folded
+    // shape: <= ~2x shuffle partitions of 1-row agg partials
+    assert(extraPerIter < nv / 2.0,
+      s"convergence check shuffles $extraPerIter records/iteration (|V|=$nv)")
+  }
+
   test("G2 eigenvector on a 3-cycle: uniform 1/sqrt(3)") {
     val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
     val ev = Eigenvector.run(cyc)
