@@ -78,7 +78,11 @@ class TableIO(spark: SparkSession, root: String) {
     val dataDir = s"$root/$table/snap-$id/data"
     df.write.mode("overwrite").parquet(dataDir)
 
-    // per-output-partition lineage from the written files (metadata-only scan)
+    // per-output-partition lineage from the written files. partition_id is
+    // decoded from the writer's own part number in the file name — a pure
+    // map (the earlier global row_number window funneled every file row
+    // through one task; harmless at thousands of files, an anti-pattern at
+    // millions). Gaps are legitimate: Spark skips writing empty partitions.
     val written = spark.read.parquet(dataDir)
     val wallMs = (System.nanoTime() - t0) / 1000000
     val lineage = written
@@ -86,12 +90,16 @@ class TableIO(spark: SparkSession, root: String) {
       .agg(count(lit(1)).as("row_count"))
       .select(
         lit(stage).as("stage"),
-        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("file")) - 1).as("partition_id"),
+        regexp_extract(col("file"), "part-(\\d+)", 1).cast("int").as("partition_id"),
         lit(inputSnapshot).as("input_snapshot"),
         col("row_count"),
         lit(wallMs).as("wall_ms"))
+      .cache()
     lineage.write.mode("overwrite").parquet(s"$root/$table/snap-$id/lineage")
-    val rowCount = written.count()
+    // table row count from the (tiny, cached) lineage — avoids a second
+    // full scan of the data we just wrote
+    val rowCount = lineage.agg(coalesce(sum("row_count"), lit(0L))).head().getLong(0)
+    lineage.unpersist(false)
 
     val json =
       s"""{"table": "$table", "id": $id, "stage": "$stage", "input_snapshot": "$inputSnapshot",

@@ -60,4 +60,50 @@ object Multimodal {
       col("media_id"),
       octet_length(col("payload")).cast("long").as("byte_len"),
       col("payload").getItem(0).cast("int").bitwiseAND(lit(255)).as("first_byte"))
+
+  /** Frame sampling for video/audio-shaped payloads: treat the payload as a
+    * sequence of fixed `frameSize`-byte frames and emit every `stride`-th
+    * COMPLETE frame as its own row (media_id, frame_idx, frame). Pure
+    * codegen'd column expressions (sequence/filter/substr/posexplode) — no
+    * UDF, map-only, partitioning preserved; the real-codec analog hands
+    * each emitted frame to a decoder downstream.
+    */
+  def frameSample(media: DataFrame, frameSize: Int, stride: Int): DataFrame = {
+    require(frameSize > 0 && stride > 0)
+    val nFrames = (octet_length(col("payload")) / frameSize).cast("long")
+    val idx = when(nFrames > 0, filter(sequence(lit(0L), nFrames - 1),
+      i => i % stride === 0)).otherwise(typedlit(Seq.empty[Long]))
+    media.select(col("media_id"),
+      posexplode(transform(idx,
+        i => col("payload").substr((i * frameSize + 1).cast("int"), lit(frameSize))))
+        .as(Seq("pos", "frame")))
+      .select(col("media_id"), (col("pos") * stride).cast("long").as("frame_idx"),
+        col("frame"))
+  }
+
+  /** Deterministic integer feature projection from payload bytes — the
+    * engine-portable stand-in for a real image/audio encoder (which would
+    * replace the per-row arithmetic inside the same mapPartitions shape):
+    * f_d = ((byte[(d*7) mod L] & 0xff) * 31 + d) mod 13 - 6 for d in
+    * 0..dim-1, all-zero when the payload is empty. Output is an
+    * Array[Float] column ready for the `Similarity` ANN operators, closing
+    * the multimodal -> embedding -> similarity pipeline.
+    */
+  def featureStub(media: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition setup would load the encoder weights once here
+        it.map { case (id, bytes) =>
+          val f = Array.tabulate(dim) { d =>
+            if (bytes.isEmpty) 0f
+            else (((bytes((d * 7) % bytes.length) & 0xff) * 31 + d) % 13 - 6).toFloat
+          }
+          (id, f)
+        }
+      }
+      .toDF("media_id", "features")
+  }
 }

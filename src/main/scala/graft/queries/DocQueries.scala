@@ -172,6 +172,29 @@ object DocQueries {
         .orderBy("source"))
     }),
 
+    "mm_frame_sample" -> ((s, dir) => {
+      // video/audio shape: payload -> every 2nd complete 16-byte frame,
+      // pure codegen column ops (no UDF)
+      val media = docs(s, dir).select(
+        col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+      val frames = Multimodal.frameSample(media, frameSize = 16, stride = 2)
+      frames.agg(
+        count(lit(1)).as("n_frames"),
+        count_distinct(col("media_id")).as("media_with_frames"),
+        coalesce(sum(col("frame_idx")), lit(0L)).as("idx_checksum"),
+        coalesce(sum(octet_length(col("frame"))), lit(0L)).as("frame_bytes"))
+    }),
+
+    "mm_feature_knn" -> ((s, dir) => {
+      // multimodal -> embedding -> similarity, end to end: deterministic
+      // feature stub (the encoder stand-in) feeding brute-force cosine top-k
+      val media = docs(s, dir).select(
+        col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+      val feats = Multimodal.featureStub(media, dim = 16)
+      Similarity.bruteForceTopK(feats, "media_id", "features", col("media_id") < 5, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     "ev_window" -> ((s, dir) =>
       EventWindows.tumblingCounts(s, dir)
         .orderBy("win_start", "event_type")),
@@ -464,6 +487,37 @@ object DocQueries {
         |       CAST(round(avg(height), 6) AS DOUBLE) AS avg_height,
         |       CAST(sum(checksum) AS BIGINT) AS checksum
         |FROM meta GROUP BY source ORDER BY source""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT t.doc_id, g.i AS frame_idx
+        |  FROM (SELECT doc_id, strlen(text) // 16 AS nf FROM documents) t,
+        |       LATERAL unnest(generate_series(0, t.nf - 1)) g(i)
+        |  WHERE g.i % 2 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_frames,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS media_with_frames,
+        |       CAST(coalesce(sum(frame_idx), 0) AS BIGINT) AS idx_checksum,
+        |       CAST(coalesce(count(*) * 16, 0) AS BIGINT) AS frame_bytes
+        |FROM f""".stripMargin,
+
+    "mm_feature_knn" ->
+      """WITH feats AS (
+        |  SELECT doc_id AS media_id,
+        |         list_transform(generate_series(0, 15),
+        |           d -> CAST(((ascii(substr(text, ((d * 7) % strlen(text)) + 1, 1)) * 31 + d) % 13 - 6) AS DOUBLE)) AS v
+        |  FROM documents),
+        |q AS (SELECT media_id AS query_id, v AS qv FROM feats WHERE media_id < 5),
+        |scored AS (
+        |  SELECT query_id, media_id,
+        |         CAST(round(list_dot_product(qv, v) /
+        |               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS DOUBLE) AS sim
+        |  FROM q JOIN feats ON media_id <> query_id),
+        |ranked AS (
+        |  SELECT query_id, media_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, media_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, media_id AS neighbor_id, sim
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "ev_window" ->
       """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start,

@@ -188,6 +188,37 @@ class OpsSpec extends AnyFunSuite {
     assert(plainD == saltedD)
   }
 
+  test("frame sampling: every stride-th complete frame, incomplete tail dropped") {
+    import graft.ops.Multimodal
+    val media = Seq((1L, "abcdefghij"), (2L, "ab"), (3L, ""))
+      .toDF("media_id", "t")
+      .select(col("media_id"), col("t").cast("binary").as("payload"))
+    // 10 bytes / frameSize 3 -> complete frames abc def ghi ("j" dropped);
+    // stride 2 keeps frames 0 and 2; 2-byte and empty payloads emit nothing
+    val rows = Multimodal.frameSample(media, frameSize = 3, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), new String(r.getAs[Array[Byte]](2), "UTF-8")))
+    assert(rows.toSet == Set((1L, 0L, "abc"), (1L, 2L, "ghi")))
+  }
+
+  test("feature stub: deterministic formula, feeds similarity ops") {
+    import graft.ops.Multimodal
+    val media = Seq((1L, "abc"), (2L, "abc"), (3L, "zzzz"))
+      .toDF("media_id", "t")
+      .select(col("media_id"), col("t").cast("binary").as("payload"))
+    val f = Multimodal.featureStub(media, dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def expected(s: String): Seq[Float] = {
+      val b = s.getBytes("UTF-8")
+      (0 until 8).map(d => (((b((d * 7) % b.length) & 0xff) * 31 + d) % 13 - 6).toFloat)
+    }
+    assert(f(1L) == expected("abc") && f(2L) == expected("abc") && f(3L) == expected("zzzz"))
+    // identical payloads -> identical vectors -> top neighbor with sim 1.0
+    val knn = Similarity.bruteForceTopK(
+      Multimodal.featureStub(media, dim = 8), "media_id", "features",
+      col("media_id") === 1, k = 1).head()
+    assert(knn.getLong(2) == 2L && knn.getDouble(3) == 1.0)
+  }
+
   test("language id: marker scoring with deterministic tie-break") {
     val d = Seq((1L, "the cat sat"), (2L, "der hund"), (3L, "xyz qqq"))
       .toDF("doc_id", "text")
