@@ -87,5 +87,35 @@ class PlanSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val plan = planOf(graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.1))
     assert(!plan.contains("CartesianProduct"), plan.take(500))
+    val sim = planOf(graft.ops.Dedup.simhashPairs(docs, "doc_id", "text", 3))
+    assert(!sim.contains("CartesianProduct"), sim.take(500))
+  }
+
+  test("frame sampling is pure column expressions (no object serialization)") {
+    val media = Seq((1L, "abcdefghijklmnop")).toDF("media_id", "t")
+      .select($"media_id", $"t".cast("binary").as("payload"))
+    val plan = planOf(graft.ops.Multimodal.frameSample(media, 4, 2))
+    assert(plan.contains("Generate")) // posexplode
+    // a UDF/closure formulation would show object (de)serialization
+    assert(!plan.contains("SerializeFromObject") && !plan.contains("MapPartitions"),
+      plan.take(600))
+  }
+
+  test("multi-probe ANN joins probe==bucket as a hash join, never cartesian") {
+    val embs = Seq.tabulate(40)(i => (i.toLong, Array.fill(8)((i % 5).toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    val plan = planOf(graft.ops.Similarity.lshTopKMultiProbe(
+      embs, "vec_id", "embedding", $"vec_id" < 3, planes = 6, k = 3))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(600))
+  }
+
+  test("guarded embedding-cosine pairs stay equi-joined on the refined block key") {
+    val embs = Seq.tabulate(50)(i =>
+      (i.toLong, Array.fill(8)(i.toFloat + 1f), "one_big_block"))
+      .toDF("vec_id", "embedding", "label")
+    val plan = planOf(graft.ops.Dedup.embeddingCosinePairs(
+      embs, "vec_id", "embedding", "label", 0.5, maxBlock = 10, subBlockPlanes = 3))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
   }
 }
