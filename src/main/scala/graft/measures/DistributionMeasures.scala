@@ -55,12 +55,25 @@ object DistributionMeasures {
     * them), candidate xmin = each distinct remaining value, continuous MLE
     * alpha = 1 + n_tail / sum(ln(x/xmin)), pick the xmin minimizing the KS
     * distance between empirical and fitted CDF on the tail.
-    * Returns (alpha, xmin). Cost: |distinct|^2 pairs — thousands squared at
-    * worst, still tiny relative to the edge table.
+    * Returns (alpha, xmin).
+    *
+    * Cost: |candidates| x |distinct| pairs. With every distinct value as a
+    * candidate that is |distinct|^2 — fine for the usual thousands of
+    * distinct degrees, a 10^12-pair blow-up if a 100-TB graph yields ~10^6
+    * of them. `maxCandidates` caps the sweep: when the histogram has more
+    * distinct positive values, candidates thin to every k-th value in rank
+    * order (deterministic, preserves the full range). Below the cap the
+    * sweep is exhaustive and bit-identical to the reference semantics;
+    * the default cap never triggers at oracle scales.
     */
-  def powerlawFit(hist: DataFrame): DataFrame = {
+  def powerlawFit(hist: DataFrame, maxCandidates: Int = 4096): DataFrame = {
     val pos = hist.where(col("x") > 0)
-    val cands = pos.select(col("x").as("xmin"))
+    val cands = pos
+      .withColumn("rn", row_number().over(Window.partitionBy(lit(0)).orderBy("x")) - 1)
+      .withColumn("ntot", count(lit(1)).over(wAll))
+      .withColumn("step", ceil(col("ntot").cast("double") / maxCandidates).cast("long"))
+      .where(col("rn") % col("step") === 0)
+      .select(col("x").as("xmin"))
     val pairs = cands.join(pos, col("x") >= col("xmin"))
     val stats = pairs.groupBy("xmin").agg(
       sum("cnt").as("nt"),

@@ -96,13 +96,35 @@ object RdfMeasures {
     * list degree = subjects per distinct list -> max/mean.
     */
   def predicateLists(edges: DataFrame, ord: Option[Column] = None): DataFrame = {
-    val o = ord.getOrElse(col("label"))
-    val lists = edges
-      .groupBy("src")
-      .agg(concat_ws("\u0001",
-        transform(array_sort(collect_list(struct(o.as("o"), col("label").as("l")))),
-          s => s.getField("l"))).as("plist"))
-    val perList = lists.groupBy("plist").agg(count(lit(1)).as("c"))
+    val perList = ord match {
+      case Some(o) =>
+        // caller-pinned order: the list must actually be materialized
+        edges
+          .groupBy("src")
+          .agg(concat_ws("\u0001",
+            transform(array_sort(collect_list(struct(o.as("o"), col("label").as("l")))),
+              s => s.getField("l"))).as("plist"))
+          .groupBy("plist").agg(count(lit(1)).as("c"))
+      case None =>
+        // label-order lists are FULLY DETERMINED by the per-(src, label)
+        // multiplicities, so the list identity reduces to a set hash over
+        // the (label, count) pairs — no per-subject array ever materializes
+        // (a 10^6-out-degree hub would otherwise build a 10^6-element row
+        // in one aggregation buffer). The pairs within one subject are
+        // distinct, so XOR is a sound set hash; two independently-salted
+        // 64-bit XORs + the set width make collisions negligible, and XOR
+        // is commutative so map-side partial aggregation applies everywhere
+        // (no ANSI overflow, unlike a sum of full-range hashes).
+        val perLabel = edges.groupBy("src", "label").agg(count(lit(1)).as("c"))
+        perLabel
+          .withColumn("h1", xxhash64(col("label"), col("c")))
+          .withColumn("h2", xxhash64(col("c"), col("label"), lit(0x9e3779b9L)))
+          .groupBy("src")
+          .agg(expr("bit_xor(h1)").as("hx1"),
+            expr("bit_xor(h2)").as("hx2"),
+            count(lit(1)).as("width"))
+          .groupBy("hx1", "hx2", "width").agg(count(lit(1)).as("c"))
+    }
     perList.agg(
       (lit(1.0) - try_divide(count(lit(1)).cast("double"), sum("c"))).as("repeated_predicate_lists"),
       max("c").cast("long").as("max_predicate_list_degree"),

@@ -190,6 +190,23 @@ class MatcherSpec extends AnyFunSuite {
     assert(refAlpha > 1.0)
   }
 
+  test("powerlaw fit: candidate cap thins the xmin sweep deterministically") {
+    val histData: Seq[(Double, Long)] =
+      (1 to 100).map(x => (x.toDouble, math.max(1L, math.round(1e6 * math.pow(x, -2.2)))))
+    val hist = histData.toDF("x", "cnt")
+    // capped sweep: only every 10th distinct value (ranks 0,10,...) is a
+    // candidate; the fit still lands on one of them with a sane alpha
+    val capped = DistributionMeasures.powerlawFit(hist, maxCandidates = 10).head()
+    val sampled = (1 to 100).map(_.toDouble).zipWithIndex
+      .collect { case (x, i) if i % 10 == 0 => x }.toSet
+    assert(sampled.contains(capped.getDouble(1)))
+    assert(capped.getDouble(0) > 1.0)
+    // below the cap the sweep is exhaustive: identical to the default
+    val full = DistributionMeasures.powerlawFit(hist).head()
+    val explicit = DistributionMeasures.powerlawFit(hist, maxCandidates = 100).head()
+    assert(full == explicit)
+  }
+
   test("powerlaw fit: alpha formula exact on a two-point tail") {
     // xmin candidates {1,2}; verify MLE alpha = 1 + n/sum(cnt*ln(x/xmin))
     val hist = Seq((1.0, 80L), (2.0, 20L)).toDF("x", "cnt")
