@@ -109,4 +109,48 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
   }
+
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer (MLlib, fixed seed)
+    * assigns every corpus vector to one of `nCentroids` inverted lists; a
+    * query probes its `nProbe` nearest centroids (euclidean, the quantizer's
+    * own metric) and scores exact cosine only within those lists. Candidate
+    * volume ~ corpus * nProbe / nCentroids, and the probe selection is a
+    * per-row sort over a broadcast centroid array — the standard
+    * recall/cost dial when the corpus outgrows sign-LSH bucket granularity.
+    * Training cost is one MLlib KMeans fit on the corpus (sampled fits are
+    * the production variant; exact fit keeps this oracle-replayable).
+    */
+  def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, nCentroids: Int, nProbe: Int, k: Int,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(nProbe >= 1 && nProbe <= nCentroids)
+    val e = embs.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("list_id").fit(e)
+    val corpus = model.transform(e).select(col("id"), col("v"), col("list_id"))
+    // centroids are tiny (nCentroids x dim): embed them as an in-row array
+    val centArr = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cid"), typedlit(c.toArray.toSeq).as("cv"))
+    }.toIndexedSeq: _*)
+    val qs = embs.where(queryPred)
+      .select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
+      .select(col("query_id"), col("qv"), explode(centArr).as("cent"))
+      .withColumn("d2", aggregate(
+        zip_with(col("qv"), col("cent.cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("d2").asc, col("cent.cid").asc)
+    val probes = qs.withColumn("prank", row_number().over(wProbe))
+      .where(col("prank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cent.cid").as("list_id"))
+    val scored = probes.join(corpus,
+      Seq("list_id")).where(col("query_id") =!= col("id"))
+      .withColumn("sim", round(cosine(col("qv"), col("v")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
+  }
 }

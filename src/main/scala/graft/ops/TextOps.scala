@@ -19,6 +19,19 @@ object TextOps {
   /** Tokens on runs of spaces (document corpus is space-normalized). */
   def tokens(text: Column): Column = split(text, " +")
 
+  /** BPE-ish pre-tokenizer pattern (GPT-2 style, lookahead-free so it runs
+    * identically on Java regex and RE2/DuckDB): contractions,
+    * space-prefixed letter runs, digit runs, punctuation runs, whitespace
+    * runs. This is the PRE-tokenization step of byte-pair encoding — the
+    * unit real tokenizers count before merges.
+    */
+  val BpePattern: String =
+    "'(?:s|d|m|t|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish pre-tokens of `text` (array column, codegen'd regex). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
   /** 60-bit non-negative hash: first 15 hex chars of md5, base-16 decoded. */
   def portableHash64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
@@ -96,6 +109,32 @@ object TextOps {
       size(filter(tokens(col(textCol)), t => array_contains(sw, t))).as("n_stop"))
       .withColumn("ttr", try_divide(col("n_distinct").cast("double"), col("n_tokens")))
       .withColumn("stop_ratio", try_divide(col("n_stop").cast("double"), col("n_tokens")))
+  }
+
+  /** Character n-gram language ID: score(lang) = number of character
+    * n-gram OCCURRENCES of the text found in the language's profile set
+    * (the classic Cavnar-Trenkle-style heuristic, profile = that
+    * language's most characteristic n-grams); predicted = argmax score,
+    * ties -> lexicographically first language, all-zero -> "und".
+    * Map-only column expressions, no shuffle.
+    */
+  def languageIdNgram(docs: DataFrame, idCol: String, textCol: String,
+                      profiles: Map[String, Seq[String]], n: Int = 3): DataFrame = {
+    val t = col(textCol)
+    val grams = when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+      .otherwise(typedlit(Seq.empty[String]))
+    val langs = profiles.keys.toSeq.sorted
+    val scored = langs.map { lang =>
+      val p = typedlit(profiles(lang))
+      size(filter(grams, g => array_contains(p, g))).as(s"score_$lang")
+    }
+    val df = docs.select((col(idCol) +: scored.toIndexedSeq): _*)
+    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    df.withColumn("predicted",
+      when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und")))
+      .select(col(idCol), col("predicted"))
   }
 
   /** Marker-token language scoring: predicted language = the one whose

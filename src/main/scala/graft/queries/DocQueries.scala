@@ -24,6 +24,17 @@ object DocQueries {
 
   val Stopwords: Seq[String] = Seq("the", "a")
 
+  /** Character-trigram profiles for the n-gram language-ID heuristic —
+    * shared verbatim with the SQL twin (es/fr intentionally overlap on
+    * "la " so the lexicographic tie-break is exercised).
+    */
+  val NgramProfiles: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "er "),
+    "en" -> Seq("the", "he "),
+    "es" -> Seq("el ", "la "),
+    "fr" -> Seq("le ", "la "),
+    "zh" -> Seq("zh_", "h_m"))
+
   private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
   private def embs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -77,6 +88,25 @@ object DocQueries {
       docs(s, dir).join(pred, "doc_id")
         .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "predicted")
+    }),
+
+    "doc_langid_ngram" -> ((s, dir) => {
+      val pred = TextOps.languageIdNgram(docs(s, dir), "doc_id", "text", NgramProfiles)
+      docs(s, dir).join(pred, "doc_id")
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "predicted")
+    }),
+
+    "doc_tokens_bpe" -> ((s, dir) => {
+      // BPE-ish pre-tokenization (regex identical under Java regex and RE2)
+      val toks = docs(s, dir).select(explode(TextOps.bpeTokens(col("text"))).as("tok"))
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val topDet = counts.orderBy(col("c").desc, col("tok").asc).limit(1)
+        .select(col("tok").as("top_token"), col("c").as("top_token_cnt"))
+      counts.agg(
+        sum("c").as("total_tokens"),
+        count(lit(1)).as("distinct_tokens"))
+        .crossJoin(topDet)
     }),
 
     "doc_quality" -> ((s, dir) => {
@@ -150,6 +180,14 @@ object DocQueries {
         max("c").as("max_bucket"),
         sum(col("c") * col("c")).as("sum_bucket_sq"))
     }),
+
+    // IVF ANN (KMeans coarse quantizer): not SQL-expressible, so no oracle
+    // — the driver records the weaker rows-only check; IvfSpec-style
+    // recall/equivalence assertions live in OpsSpec
+    "emb_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(embs(s, dir), "vec_id", "embedding",
+        col("vec_id") < 10, nCentroids = 8, nProbe = 3, k = 3)
+        .orderBy("query_id", "rank")),
 
     "emb_lsh_multiprobe" -> ((s, dir) =>
       // multi-probe ANN: own bucket + all 1-bit-flip buckets per query
@@ -328,6 +366,41 @@ object DocQueries {
          |g AS (SELECT *, greatest(${langs.map(l => s"s_$l").mkString(", ")}) AS gm FROM scored)
          |SELECT lang, $langCase AS predicted, CAST(count(*) AS BIGINT) AS cnt
          |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "doc_langid_ngram" -> {
+      val langs = NgramProfiles.keys.toSeq.sorted
+      val scoreCols = langs.map { l =>
+        val set = NgramProfiles(l).map(g => s"'$g'").mkString(", ")
+        s"len(list_filter(grams, t -> t IN ($set))) AS s_$l"
+      }.mkString(",\n         ")
+      val gm = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val whens = langs.map(l => s"WHEN s_$l = gm THEN '$l'").mkString(" ")
+      s"""WITH g AS (
+         |  SELECT lang,
+         |         list_transform(generate_series(1, greatest(strlen(text) - 2, 0)),
+         |                        i -> substr(text, i, 3)) AS grams
+         |  FROM documents),
+         |scored AS (
+         |  SELECT lang,
+         |         $scoreCols
+         |  FROM g),
+         |g2 AS (SELECT *, $gm AS gm FROM scored)
+         |SELECT lang, CASE WHEN gm = 0 THEN 'und' $whens END AS predicted,
+         |       CAST(count(*) AS BIGINT) AS cnt
+         |FROM g2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "doc_tokens_bpe" -> {
+      val pat = graft.ops.TextOps.BpePattern.replace("'", "''")
+      s"""WITH toks AS (
+         |  SELECT unnest(regexp_extract_all(text, '$pat')) AS tok FROM documents),
+         |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+         |SELECT
+         |  (SELECT CAST(sum(c) AS BIGINT) FROM counts) AS total_tokens,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM counts) AS distinct_tokens,
+         |  (SELECT tok FROM counts ORDER BY c DESC, tok ASC LIMIT 1) AS top_token,
+         |  (SELECT CAST(c AS BIGINT) FROM counts ORDER BY c DESC, tok ASC LIMIT 1) AS top_token_cnt""".stripMargin
     },
 
     "doc_quality" -> {

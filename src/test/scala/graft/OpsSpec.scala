@@ -219,6 +219,42 @@ class OpsSpec extends AnyFunSuite {
     assert(knn.getLong(2) == 2L && knn.getDouble(3) == 1.0)
   }
 
+  test("ivf ann: probing all lists == brute force; exact dup found at nProbe 1") {
+    val embs = (0 until 60).map { i =>
+      val c = i % 3 // 3 well-separated clusters
+      (i.toLong, Array.tabulate(8)(d => (c * 10).toFloat + 0.1f * ((i + d) % 5)))
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", $"vec_id" < 4, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val full = Similarity.ivfTopK(embs, "vec_id", "embedding", $"vec_id" < 4,
+      nCentroids = 4, nProbe = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(full == brute) // probing every list degrades to exact search
+    val dup = Seq((0L, Array.fill(8)(1.0f)), (1L, Array.fill(8)(1.0f)),
+      (2L, Array.fill(8)(-5.0f)), (3L, Array.fill(8)(-5.1f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.ivfTopK(dup, "vec_id", "embedding", $"vec_id" === 0,
+      nCentroids = 2, nProbe = 1, k = 1).head()
+    assert(r.getLong(2) == 1L && r.getDouble(3) == 1.0) // same vector, same list
+  }
+
+  test("bpe pre-tokenizer: contractions, space-prefixed runs, punctuation") {
+    val r = Seq("the fox's 42 jumps, over!").toDF("text")
+      .select(TextOps.bpeTokens(col("text")).as("t"))
+      .head().getSeq[String](0)
+    assert(r == Seq("the", " fox", "'s", " 42", " jumps", ",", " over", "!"))
+  }
+
+  test("ngram language id: trigram profile scoring with und fallback") {
+    val d = Seq((1L, "the cat"), (2L, "der hund"), (3L, "xy"), (4L, "qqq"))
+      .toDF("doc_id", "text")
+    val out = TextOps.languageIdNgram(d, "doc_id", "text",
+      Map("en" -> Seq("the", "he "), "de" -> Seq("der", "er "))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "the cat": trigrams the/he / e c/... -> en score 2; de score 0
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und", 4L -> "und"))
+  }
+
   test("language id: marker scoring with deterministic tie-break") {
     val d = Seq((1L, "the cat sat"), (2L, "der hund"), (3L, "xyz qqq"))
       .toDF("doc_id", "text")
