@@ -132,6 +132,31 @@ object Pipeline {
   /** Default feature set (lodcc default-features analog). */
   def measures(edges: DataFrame): DataFrame = measures(edges, DefaultFeatures)
 
+  /** Many datasets at once — the reference's headline operating mode
+    * (`README.md:6` "many datasets at once"; dataset-level process pool at
+    * `core_measures.py:126` Semaphore(min(threads, 20))). Spark-native
+    * analog: every dataset's RELATIONAL measure plan goes into one union
+    * job, so the scheduler interleaves their stages across the cluster
+    * instead of pinning one dataset per process, and a straggler dataset
+    * no longer holds a pool slot. (The iterative measures — diameter,
+    * pagerank, eigenvector — still drive their own per-dataset jobs, like
+    * the reference's per-dataset processes.) Output: (dataset, measure,
+    * value).
+    */
+  def measuresMany(datasets: Seq[(String, DataFrame)],
+                   features: Set[String] = DefaultFeatures): DataFrame =
+    datasets
+      .map { case (name, e) =>
+        measures(e, features).select(lit(name).as("dataset"), col("measure"), col("value"))
+      }
+      .reduce(_ union _)
+
+  /** Stats CSV sink (lodcc S10, `--csv` flag analog): the long-format
+    * measures table as headered CSV part files.
+    */
+  def writeStatsCsv(stats: DataFrame, path: String): Unit =
+    stats.write.mode("overwrite").option("header", "true").csv(path)
+
   /** Optional JDBC stats sink — the literal lodcc S9 binding
     * (`db/SqliteHelper.py:153-171` upserts the measure row into an RDBMS).
     * The long-format Parquet table is the default, cluster-native sink; this

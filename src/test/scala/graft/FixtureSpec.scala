@@ -172,6 +172,26 @@ class FixtureSpec extends AnyFunSuite {
     assert(math.abs(d(m, "centralization_degree") - 18.0 / 42) < 1e-12)
   }
 
+  test("measuresMany: per-dataset long rows; writeStatsCsv round-trips") {
+    val m = graft.Pipeline.measuresMany(
+      Seq("dsA" -> edges, "dsB" -> edges.limit(3)),
+      features = Set("basic", "degree", "reciprocity"))
+    val rows = m.collect()
+    assert(rows.map(_.getString(0)).toSet == Set("dsA", "dsB"))
+    val byDs = rows.groupBy(_.getString(0))
+    // identical measure inventory per dataset, different values where m differs
+    assert(byDs("dsA").map(_.getString(1)).toSet == byDs("dsB").map(_.getString(1)).toSet)
+    def mv(ds: String, k: String): Double =
+      byDs(ds).find(_.getString(1) == k).get.getDouble(2)
+    assert(mv("dsA", "m") == 7.0 && mv("dsB", "m") == 3.0)
+    // CSV sink (lodcc S10): header + all rows round-trip
+    val dir = java.nio.file.Files.createTempDirectory("stats_csv").toString + "/out"
+    graft.Pipeline.writeStatsCsv(m, dir)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() == rows.length)
+    assert(back.columns.toSeq == Seq("dataset", "measure", "value"))
+  }
+
   test("A14 reciprocity = 0 on the fixture") {
     assert(d(one(CoreMeasures.reciprocity(edges)), "reciprocity") == 0.0)
   }
