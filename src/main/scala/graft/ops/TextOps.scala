@@ -96,7 +96,8 @@ object TextOps {
   }
 
   /** Per-document quality features: chars, tokens, type-token ratio,
-    * stopword ratio (over `stopwords`).
+    * stopword ratio (over `stopwords`), punctuation ratio (fraction of
+    * characters that are neither letter, digit, nor space).
     */
   def quality(docs: DataFrame, idCol: String, textCol: String,
               stopwords: Seq[String]): DataFrame = {
@@ -104,11 +105,14 @@ object TextOps {
     docs.select(
       col(idCol),
       length(col(textCol)).as("chars"),
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), "[^\\p{L}\\p{N} ]", ""))).as("n_punct"),
       size(tokens(col(textCol))).as("n_tokens"),
       size(array_distinct(tokens(col(textCol)))).as("n_distinct"),
       size(filter(tokens(col(textCol)), t => array_contains(sw, t))).as("n_stop"))
       .withColumn("ttr", try_divide(col("n_distinct").cast("double"), col("n_tokens")))
       .withColumn("stop_ratio", try_divide(col("n_stop").cast("double"), col("n_tokens")))
+      .withColumn("punct_ratio", try_divide(col("n_punct").cast("double"), col("chars")))
   }
 
   /** Character n-gram language ID: score(lang) = number of character

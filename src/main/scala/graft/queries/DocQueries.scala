@@ -117,7 +117,8 @@ object DocQueries {
           round(avg("chars"), 6).as("avg_chars"),
           round(avg("n_tokens"), 6).as("avg_tokens"),
           round(avg("ttr"), 6).as("avg_ttr"),
-          round(avg("stop_ratio"), 6).as("avg_stop_ratio"))
+          round(avg("stop_ratio"), 6).as("avg_stop_ratio"),
+          round(avg("punct_ratio"), 6).as("avg_punct_ratio"))
         .orderBy("source"))
     }),
 
@@ -408,6 +409,7 @@ object DocQueries {
       s"""WITH q AS (
          |  SELECT source,
          |         length(text) AS chars,
+         |         length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N} ]', '', 'g')) AS n_punct,
          |         len(string_split(text, ' ')) AS n_tokens,
          |         len(list_distinct(string_split(text, ' '))) AS n_distinct,
          |         len(list_filter(string_split(text, ' '), x -> x IN ($sw))) AS n_stop
@@ -416,7 +418,8 @@ object DocQueries {
          |       CAST(round(avg(chars), 6) AS DOUBLE) AS avg_chars,
          |       CAST(round(avg(n_tokens), 6) AS DOUBLE) AS avg_tokens,
          |       CAST(round(avg(CAST(n_distinct AS DOUBLE) / n_tokens), 6) AS DOUBLE) AS avg_ttr,
-         |       CAST(round(avg(CAST(n_stop AS DOUBLE) / n_tokens), 6) AS DOUBLE) AS avg_stop_ratio
+         |       CAST(round(avg(CAST(n_stop AS DOUBLE) / n_tokens), 6) AS DOUBLE) AS avg_stop_ratio,
+         |       CAST(round(avg(CAST(n_punct AS DOUBLE) / chars), 6) AS DOUBLE) AS avg_punct_ratio
          |FROM q GROUP BY source ORDER BY source""".stripMargin
     },
 
