@@ -78,15 +78,39 @@ object RdfMeasures {
     maxMean(edges.groupBy("label").agg(count_distinct(col("dst")).as("c")),
       "max_predicate_out_degree", "mean_predicate_out_degree")
 
-  /** Eq.12: |S cap O| / |S cup O| (`common_ratios.py:3-13`). */
-  def subjectObjectRatio(edges: DataFrame): DataFrame = {
-    val s = edges.select(col("src").as("v")).distinct()
-    val o = edges.select(col("dst").as("v")).distinct()
-    val inter = s.intersect(o).agg(count(lit(1)).as("i"))
-    val union = s.union(o).distinct().agg(count(lit(1)).as("u"))
+  private def setRatio(a: DataFrame, b: DataFrame, alias: String): DataFrame = {
+    val inter = a.intersect(b).agg(count(lit(1)).as("i"))
+    val union = a.union(b).distinct().agg(count(lit(1)).as("u"))
     inter.crossJoin(union)
-      .select(try_divide(col("i").cast("double"), col("u")).as("subject_object_ratio"))
+      .select(try_divide(col("i").cast("double"), col("u")).as(alias))
   }
+
+  /** Eq.12: |S cap O| / |S cup O| (`common_ratios.py:3-13`). */
+  def subjectObjectRatio(edges: DataFrame): DataFrame =
+    setRatio(
+      edges.select(col("src").as("v")).distinct(),
+      edges.select(col("dst").as("v")).distinct(),
+      "subject_object_ratio")
+
+  /** Eq.13-14 analog: |S cap P| / |S cup P|. The reference stubs this out
+    * "because this is a costly computation" (`common_ratios.py:15-18` is an
+    * empty TODO); distributed set intersection makes it one semi-join, so
+    * the engine ships it.
+    */
+  def subjectPredicateRatio(edges: DataFrame): DataFrame =
+    setRatio(
+      edges.select(col("src").as("v")).distinct(),
+      edges.select(col("label").as("v")).distinct(),
+      "subject_predicate_ratio")
+
+  /** Eq.15-16 analog: |P cap O| / |P cup O| (`common_ratios.py:20-23`,
+    * also TODO in the reference — see [[subjectPredicateRatio]]).
+    */
+  def predicateObjectRatio(edges: DataFrame): DataFrame =
+    setRatio(
+      edges.select(col("label").as("v")).distinct(),
+      edges.select(col("dst").as("v")).distinct(),
+      "predicate_object_ratio")
 
   /** Eq.17-19 (`predicate_lists.py:5-32`): per-subject predicate list in a
     * *defined* order (the reference depends on file order,

@@ -67,6 +67,18 @@ object KgQueries {
     "kg_rdf_ratio" -> ((s, dir) =>
       roundDoubles(RdfMeasures.subjectObjectRatio(liEdges(s, dir)))),
 
+    // Eq.13-16 analogs — TODO'd in the reference ("costly computation",
+    // common_ratios.py:15-23), one semi-join each here. Label space mapped
+    // into the vertex space so the intersections are non-trivial.
+    "kg_rdf_ratio2" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/lineitem.parquet").select(
+        concat(lit("v"), (col("l_orderkey") % 4096).cast("string")).as("src"),
+        concat(lit("v"), (col("l_partkey") % 4096).cast("string")).as("dst"),
+        concat(lit("v"), ((col("l_suppkey") * 7) % 4096).cast("string")).as("label"))
+      roundDoubles(graft.measures.RdfMeasures.subjectPredicateRatio(e)
+        .crossJoin(graft.measures.RdfMeasures.predicateObjectRatio(e)))
+    }),
+
     "kg_predicate_lists" -> ((s, dir) =>
       roundDoubles(RdfMeasures.predicateLists(liEdges(s, dir)))),
 
@@ -177,6 +189,22 @@ object KgQueries {
          |  CAST((SELECT count(*) FROM (SELECT DISTINCT src FROM edges INTERSECT SELECT DISTINCT dst FROM edges) t) AS DOUBLE) /
          |  (SELECT count(*) FROM (SELECT src FROM edges UNION SELECT dst FROM edges) t), 6) AS DOUBLE)
          |AS subject_object_ratio""".stripMargin,
+
+    "kg_rdf_ratio2" ->
+      """WITH edges AS (
+        |  SELECT 'v' || (l_orderkey % 4096) AS src,
+        |         'v' || (l_partkey % 4096) AS dst,
+        |         'v' || ((l_suppkey * 7) % 4096) AS label
+        |  FROM lineitem)
+        |SELECT
+        |  CAST(round(
+        |    CAST((SELECT count(*) FROM (SELECT DISTINCT src FROM edges INTERSECT SELECT DISTINCT label FROM edges) t) AS DOUBLE) /
+        |    (SELECT count(*) FROM (SELECT src FROM edges UNION SELECT label FROM edges) t), 6) AS DOUBLE)
+        |  AS subject_predicate_ratio,
+        |  CAST(round(
+        |    CAST((SELECT count(*) FROM (SELECT DISTINCT label FROM edges INTERSECT SELECT DISTINCT dst FROM edges) t) AS DOUBLE) /
+        |    (SELECT count(*) FROM (SELECT label FROM edges UNION SELECT dst FROM edges) t), 6) AS DOUBLE)
+        |  AS predicate_object_ratio""".stripMargin,
 
     "kg_predicate_lists" ->
       s"""$edgesCte,

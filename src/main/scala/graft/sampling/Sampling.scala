@@ -47,4 +47,30 @@ object Sampling {
     val keep = (c: Column) => pmod(xxhash64(c), lit(100)) < percent
     edges.where(keep(col("src")) && keep(col("dst")))
   }
+
+  /** The reference's sampling task sweeps k over linspace(0.05, 0.5, 10)
+    * and writes one sampled edgelist per rate
+    * (`sample_edgelist_weighted.py:66-79`, one thread per rate under a
+    * Semaphore(10)). Distributed analog: ONE deterministic per-edge draw
+    * (xxhash64 of the row, salted by `seed`) shared by every rate, so the
+    * sweep is k1 < k2 => sample(k1) ⊆ sample(k2) (nested samples — the
+    * statistically right way to compare rates) and each materialized rate
+    * is a shuffle-free filtered scan.
+    */
+  def edgeSampleSweep(edges: DataFrame, rates: Seq[Double], seed: Long): Seq[(Double, DataFrame)] = {
+    val cols = edges.columns.map(col).toIndexedSeq
+    val draw = pmod(xxhash64(cols :+ lit(seed): _*), lit(1000000L)).cast("double") / 1000000.0
+    val withDraw = edges.withColumn("__draw", draw)
+    rates.map(k => k -> withDraw.where(col("__draw") < k).drop("__draw"))
+  }
+
+  /** Rate-sweep sink mirroring the reference's `<dataset>-sampled-<k>/`
+    * layout: one parquet dir per rate under `baseDir`.
+    */
+  def writeSampleSweep(edges: DataFrame, baseDir: String,
+                       rates: Seq[Double] = (1 to 10).map(i => 0.05 * i),
+                       seed: Long = 42L): Unit =
+    edgeSampleSweep(edges, rates, seed).foreach { case (k, df) =>
+      df.write.mode("overwrite").parquet(f"$baseDir-sampled-$k%.2f")
+    }
 }

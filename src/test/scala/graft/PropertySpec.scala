@@ -94,6 +94,19 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rate sweep yields nested samples with monotone sizes") {
+    import SparkTestSession.spark.implicits._
+    val edges = Seq.tabulate(400)(i => (s"v${i % 50}", s"v${(i * 3) % 50}", s"p${i % 7}"))
+      .toDF("src", "dst", "label")
+    val sweep = graft.sampling.Sampling
+      .edgeSampleSweep(edges, Seq(0.1, 0.3, 0.5), seed = 11L)
+      .map { case (k, df) => k -> df.collect().map(_.toSeq).toSet }
+    val Seq((_, s1), (_, s2), (_, s3)) = sweep
+    assert(s1.subsetOf(s2) && s2.subsetOf(s3)) // shared draw -> nested
+    assert(s1.size <= s2.size && s2.size <= s3.size)
+    assert(s1.size < s3.size && s3.size < 350) // strict growth, strict subset (w.h.p.)
+  }
+
   test("sampling preserves schema and subsets rows") {
     forAllSeeded(edgeGen) { es =>
       if (es.nonEmpty) {
