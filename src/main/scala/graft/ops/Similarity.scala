@@ -17,9 +17,19 @@ object Similarity {
   def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
 
   /** Left-to-right dot product — same association order as DuckDB's
-    * list_dot_product, so oracle values agree bit-for-bit.
+    * list_dot_product, so oracle values agree bit-for-bit. Backed by the
+    * native codegen'd [[graft.functions.DotProduct]] expression: the HOF
+    * formulation ([[dotHof]]) is semantically identical but its lambdas run
+    * interpreted outside whole-stage codegen, which dominated the embedding
+    * dedup/ANN hot paths.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** Reference HOF formulation of [[dot]], kept as the cross-check twin. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def l2(a: Column): Column = sqrt(dot(a, a))

@@ -219,6 +219,25 @@ class OpsSpec extends AnyFunSuite {
     assert(knn.getLong(2) == 2L && knn.getDouble(3) == 1.0)
   }
 
+  test("native dot product == HOF twin bit-for-bit; zip_with null semantics") {
+    val df = (0 until 50).map { i =>
+      (i.toLong,
+        Array.tabulate(16)(d => math.sin(i * d + 1.0)),
+        Array.tabulate(16)(d => math.cos(i - d * 1.0)))
+    }.toDF("id", "a", "b")
+    df.select(Similarity.dot($"a", $"b").as("n"), Similarity.dotHof($"a", $"b").as("h"))
+      .collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bit-exact
+    // empty arrays -> 0.0 (the HOF's aggregate zero)
+    val z = Seq((Array.empty[Double], Array.empty[Double])).toDF("a", "b")
+      .select(Similarity.dot($"a", $"b")).head()
+    assert(z.getDouble(0) == 0.0)
+    // length mismatch (zip_with pads null) and null elements -> null
+    assert(Seq((Array(1.0, 2.0), Array(1.0))).toDF("a", "b")
+      .select(Similarity.dot($"a", $"b")).head().isNullAt(0))
+    assert(Seq((Seq(Option(1.0), None), Seq(Option(1.0), Option(2.0)))).toDF("a", "b")
+      .select(Similarity.dot($"a", $"b")).head().isNullAt(0))
+  }
+
   test("ivf ann: probing all lists == brute force; exact dup found at nProbe 1") {
     val embs = (0 until 60).map { i =>
       val c = i % 3 // 3 well-separated clusters
