@@ -60,8 +60,20 @@ object Similarity {
   def planeWeight(p: Column, d: Column): Column =
     ((p * 37 + d * 11) % 13 - 6).cast("double")
 
-  /** Sign-LSH bucket id (0..2^planes-1) per vector. */
+  /** Sign-LSH bucket id (0..2^planes-1) per vector. Map-only: the native
+    * codegen'd [[graft.functions.SignLshBucket]] expression computes every
+    * plane's sign in one fused loop — the composed explode/HOF/groupBy
+    * formulation ([[lshBucketComposed]]) costs a shuffle per bucket pass.
+    */
   def lshBucket(embs: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    embs.select(col(idCol).as("id"),
+      Bridge.column(graft.functions.SignLshBucket(
+        Bridge.expression(toDoubleVec(col(vecCol))), planes)).as("bucket"))
+  }
+
+  /** Composed-operator twin of [[lshBucket]], kept as the cross-check. */
+  def lshBucketComposed(embs: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame = {
     val e = embs.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
     val withPlane = e.select(col("id"), col("v"),
       explode(sequence(lit(0), lit(planes - 1))).as("p"))

@@ -238,6 +238,20 @@ class OpsSpec extends AnyFunSuite {
       .select(Similarity.dot($"a", $"b")).head().isNullAt(0))
   }
 
+  test("native sign-LSH bucket == composed explode/HOF/groupBy twin") {
+    val embs = (0 until 80).map { i =>
+      (i.toLong, Array.tabulate(12)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    for (planes <- Seq(1, 4, 8)) {
+      val native = Similarity.lshBucket(embs, "vec_id", "embedding", planes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val composed = Similarity.lshBucketComposed(embs, "vec_id", "embedding", planes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(native == composed, s"planes=$planes")
+      assert(native.values.forall(b => b >= 0 && b < (1L << planes)))
+    }
+  }
+
   test("ivf ann: probing all lists == brute force; exact dup found at nProbe 1") {
     val embs = (0 until 60).map { i =>
       val c = i % 3 // 3 well-separated clusters
