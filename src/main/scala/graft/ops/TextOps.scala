@@ -64,6 +64,19 @@ object TextOps {
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = 60): DataFrame = {
     require(bits >= 1 && bits <= 60, "portableHash64 provides 60 hash bits")
+    // native codegen'd one-pass kernel: the composed twin ([[simhashComposed]])
+    // explodes tokens x bits rows (a 60x blow-up) through two shuffled
+    // aggregations; this is map-only and bit-exact with it (the md5-prefix
+    // hash convention is shared, so the DuckDB oracle twin still matches)
+    import org.apache.spark.sql.graft.Bridge
+    docs.select(col(idCol),
+      Bridge.column(graft.functions.PortableSimHash(
+        Bridge.expression(tokens(col(textCol))), bits)).as("simhash"))
+  }
+
+  /** Composed-operator twin of [[simhash]], kept as the cross-check. */
+  def simhashComposed(docs: DataFrame, idCol: String, textCol: String,
+                      bits: Int = 60): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .withColumn("h",
         if (bits <= 31) portableHash31(col("tok")) else portableHash64(col("tok")))

@@ -81,6 +81,17 @@ class OpsSpec extends AnyFunSuite {
     assert(uncapped.count() == 20L * 19 / 2)
   }
 
+  test("native simhash == composed explode/agg twin at 16 and 60 bits") {
+    val corpus = docs.union(Seq((9L, "")).toDF("doc_id", "text"))
+    for (bits <- Seq(16, 60)) {
+      val native = TextOps.simhash(corpus, "doc_id", "text", bits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val composed = TextOps.simhashComposed(corpus, "doc_id", "text", bits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(native == composed, s"bits=$bits")
+    }
+  }
+
   test("simhash 60-bit banding: lossless for hamming<=maxHamming, parity with brute force") {
     val sh = TextOps.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
