@@ -76,9 +76,34 @@ object Dedup {
 
   /** MinHash signatures: (id, i, minhash_i) for i in 0..k-1 over k-shingles.
     * h31 keeps a_i * h < 2^51 — no overflow under ANSI mode.
+    *
+    * MAP-ONLY: the shingle set, its hashes, and all k minima are computed
+    * as array expressions inside one projection — the composed twin
+    * ([[minhashSignaturesComposed]]) pays a distinct shuffle plus a
+    * coeff-crossJoin-groupBy shuffle for the same result. Documents with
+    * no shingle (shorter than shingleK tokens) emit no rows, matching the
+    * composed path.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val idx = when(size(toks) >= shingleK,
+      sequence(lit(0), size(toks) - shingleK)).otherwise(typedlit(Seq.empty[Int]))
+    val hs = array_distinct(transform(idx,
+      i => TextOps.portableHash31(array_join(slice(toks, i + 1, lit(shingleK)), " "))))
+    val sigs = array(MinhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("i"),
+        array_min(transform(hs, h => (lit(a) * h + lit(b)) % MinhashPrime)).as("mh"))
+    }: _*)
+    docs.select(col(idCol).as("id"), explode(when(size(hs) > 0, sigs)
+      .otherwise(typedlit(Seq.empty[(Int, Long)]).cast("array<struct<i:int,mh:bigint>>")))
+      .as("sig"))
+      .select(col("id"), col("sig.i").as("i"), col("sig.mh").as("mh"))
+  }
+
+  /** Composed-operator twin of [[minhashSignatures]] (cross-check). */
+  def minhashSignaturesComposed(docs: DataFrame, idCol: String, textCol: String,
+                                shingleK: Int): DataFrame = {
     val sh = TextOps.shingles(docs, idCol, textCol, shingleK)
       .select(col(idCol).as("id"), TextOps.portableHash31(col("shingle")).as("h"))
       .distinct()

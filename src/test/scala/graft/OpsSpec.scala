@@ -41,6 +41,15 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("map-only minhash signatures == composed distinct/crossJoin/groupBy twin") {
+    val native = Dedup.minhashSignatures(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val composed = Dedup.minhashSignaturesComposed(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(native == composed) // incl. doc 5 ("tiny"): no shingles, no rows
+    assert(!native.exists(_._1 == 5L))
+  }
+
   test("minhash LSH candidates include exact dup, exclude unrelated") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3)
     val cands = Dedup.minhashLshCandidates(sigs, 2)
