@@ -89,13 +89,20 @@ object Dedup {
     val toks = TextOps.tokens(col(textCol))
     val idx = when(size(toks) >= shingleK,
       sequence(lit(0), size(toks) - shingleK)).otherwise(typedlit(Seq.empty[Int]))
-    val hs = array_distinct(transform(idx,
-      i => TextOps.portableHash31(array_join(slice(toks, i + 1, lit(shingleK)), " "))))
+    // materialize the hashed distinct-shingle array ONCE per row, in its own
+    // projection: the k array_min passes below reference the stored array,
+    // so the md5 per shingle is computed once, not once per coefficient
+    // (k+1 interpreted re-evaluations of the md5 transform was a 10x
+    // regression at sf0.1)
+    val hashed = docs.select(col(idCol).as("id"),
+      array_distinct(transform(idx,
+        i => TextOps.portableHash31(array_join(slice(toks, i + 1, lit(shingleK)), " "))))
+        .as("hs"))
     val sigs = array(MinhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       struct(lit(i).as("i"),
-        array_min(transform(hs, h => (lit(a) * h + lit(b)) % MinhashPrime)).as("mh"))
+        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % MinhashPrime)).as("mh"))
     }: _*)
-    docs.select(col(idCol).as("id"), explode(when(size(hs) > 0, sigs)
+    hashed.select(col("id"), explode(when(size(col("hs")) > 0, sigs)
       .otherwise(typedlit(Seq.empty[(Int, Long)]).cast("array<struct<i:int,mh:bigint>>")))
       .as("sig"))
       .select(col("id"), col("sig.i").as("i"), col("sig.mh").as("mh"))

@@ -138,15 +138,19 @@ object TextOps {
   def languageIdNgram(docs: DataFrame, idCol: String, textCol: String,
                       profiles: Map[String, Seq[String]], n: Int = 3): DataFrame = {
     val t = col(textCol)
-    val grams = when(length(t) >= n,
-      transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
-      .otherwise(typedlit(Seq.empty[String]))
+    // materialize the trigram array ONCE per row (its own projection) —
+    // each per-language filter below reads the stored array instead of
+    // re-extracting every substring per language
+    val withGrams = docs.select(col(idCol),
+      when(length(t) >= n,
+        transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+        .otherwise(typedlit(Seq.empty[String])).as("__grams"))
     val langs = profiles.keys.toSeq.sorted
     val scored = langs.map { lang =>
       val p = typedlit(profiles(lang))
-      size(filter(grams, g => array_contains(p, g))).as(s"score_$lang")
+      size(filter(col("__grams"), g => array_contains(p, g))).as(s"score_$lang")
     }
-    val df = docs.select((col(idCol) +: scored.toIndexedSeq): _*)
+    val df = withGrams.select((col(idCol) +: scored.toIndexedSeq): _*)
     val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
       .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
     df.withColumn("predicted",

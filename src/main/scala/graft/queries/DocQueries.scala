@@ -62,7 +62,11 @@ object DocQueries {
     }),
 
     "doc_minhash_lsh" -> ((s, dir) => {
-      val sigs = Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", shingleK = 3)
+      // the signature pass is map-only and inherits input partitioning; the
+      // local test file is ONE ~3MB parquet partition, so spread it first
+      // (at production scale the input is already many-partitioned)
+      val sigs = Dedup.minhashSignatures(docs(s, dir).repartition(32),
+        "doc_id", "text", shingleK = 3)
       val cands = Dedup.minhashLshCandidates(sigs, rowsPerBand = 2)
       cands.agg(
         count(lit(1)).as("cand_pairs"),
@@ -91,7 +95,10 @@ object DocQueries {
     }),
 
     "doc_langid_ngram" -> ((s, dir) => {
-      val pred = TextOps.languageIdNgram(docs(s, dir), "doc_id", "text", NgramProfiles)
+      // map-only scorer over a single-partition local file: spread it (see
+      // doc_minhash_lsh note)
+      val pred = TextOps.languageIdNgram(docs(s, dir).repartition(32),
+        "doc_id", "text", NgramProfiles)
       docs(s, dir).join(pred, "doc_id")
         .groupBy("lang", "predicted").agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "predicted")
