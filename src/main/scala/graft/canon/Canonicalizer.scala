@@ -60,18 +60,30 @@ object Canonicalizer {
     // (a) exact edges through the normalized form (star, not all-pairs)
     val exactEdges = exactNormEdges(withNorm)
 
-    // (b) near-dup edges: minhash signatures over char shingles
-    val sh = charShingles(s, shingleK)
-      .select(col("surface").as("id"), TextOps.portableHash31(col("shingle")).as("h"))
-      .distinct()
-    val spark = s.sparkSession
-    import spark.implicits._
-    val coeffs = Dedup.MinhashCoeffs.zipWithIndex
-      .map { case ((a, b), i) => (i, a, b) }.toDF("i", "a", "b")
-    val sigs = sh.crossJoin(broadcast(coeffs))
-      .withColumn("hv", (col("a") * col("h") + col("b")) % Dedup.MinhashPrime)
-      .groupBy("id", "i").agg(min("hv").as("mh"))
+    // (b) near-dup edges: minhash signatures over char shingles. The
+    // hashed distinct-shingle set is one array column (materialized once
+    // per surface) and all signatures are array minima over it — MAP-ONLY,
+    // where the composed formulation paid a distinct shuffle plus a
+    // coeff-crossJoin-groupBy shuffle; at 10^8+ extracted surfaces those
+    // two shuffles dominate the canonicalization stage
+    val k = shingleK
+    val idx = when(length(col("norm")) >= k,
+      sequence(lit(1), length(col("norm")) - (k - 1)))
+      .otherwise(array(lit(1)))
+    val withHs = withNorm.withColumn("hs",
+      array_distinct(transform(idx,
+        i => TextOps.portableHash31(col("norm").substr(i, lit(k))))))
+      .cache()
+    val sigs = withHs.select(col("surface").as("id"),
+      explode(array(Dedup.MinhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+        struct(lit(i).as("i"),
+          array_min(transform(col("hs"),
+            h => (lit(a) * h + lit(b)) % Dedup.MinhashPrime)).as("mh"))
+      }: _*)).as("sig"))
+      .select(col("id"), col("sig.i").as("i"), col("sig.mh").as("mh"))
     val cands = Dedup.minhashLshCandidates(sigs, rowsPerBand)
+    // exploded (id, h) rows for the exact-Jaccard verification joins
+    val sh = withHs.select(col("surface").as("id"), explode(col("hs")).as("h"))
 
     // verify candidates at Jaccard >= minJ over the char shingle sets
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
