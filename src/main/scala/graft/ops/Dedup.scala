@@ -133,17 +133,52 @@ object Dedup {
   /** LSH candidate pairs: band signatures of `rowsPerBand` minhashes; two
     * docs are candidates iff at least one band signature matches. Returns
     * distinct (a, b) with a < b.
+    *
+    * Duplicate-cluster collapse (the web-scale guard): documents whose FULL
+    * signature vectors are identical — exact duplicates and
+    * minhash-indistinguishable near-duplicates — share every band signature,
+    * so the banded self-join would put a cluster of g such documents on one
+    * (band, sig) key and materialize g²/2 pairs; real corpora carry
+    * 10⁵–10⁶-member boilerplate clusters, a single-key 10¹⁰+ explosion.
+    * With `collapse=true` (default) each identical-signature group is
+    * reduced to its min-id representative before banding and re-expanded as
+    * star edges (rep, member) afterward — g-1 rows per cluster, plus the
+    * representative's cross-cluster band collisions. The collapsed pair list
+    * is a SUBSET of the uncollapsed one (stars are trivially band
+    * collisions) with the SAME transitive closure: any uncollapsed pair
+    * (a, b) is bridged as a—rep_a—rep_b—b, because identical signatures
+    * collide on exactly the same bands. Downstream consumers that verify
+    * then merge (Jaccard + connected components, e.g.
+    * [[graft.canon.Canonicalizer.canonicalize]]) therefore see identical
+    * components. `collapse=false` restores the literal all-pairs banding
+    * (test-scale / exhaustive-pair-list use only).
     */
-  def minhashLshCandidates(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
+  def minhashLshCandidates(signatures: DataFrame, rowsPerBand: Int,
+                           collapse: Boolean = true): DataFrame = {
     val banded = signatures
       .withColumn("band", (col("i") / rowsPerBand).cast("int"))
       .groupBy("id", "band")
       .agg(concat_ws(",", sort_array(collect_list(concat(col("i"), lit(":"), col("mh"))))).as("sig"))
-    banded.as("x").join(banded.as("y"),
-      col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-        col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-      .distinct()
+    def bandPairs(b: DataFrame): DataFrame =
+      b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b"))
+        .distinct()
+    if (!collapse) bandPairs(banded)
+    else {
+      // canonical full-signature key: band sigs carry "i:mh" entries, so the
+      // sorted concat is injective on the (i -> mh) map
+      val full = banded.groupBy("id")
+        .agg(concat_ws("|", sort_array(collect_list(col("sig")))).as("fullsig"))
+      val reps = full.groupBy("fullsig").agg(min("id").as("rep"))
+      val withRep = full.join(reps, "fullsig").select(col("id"), col("rep"))
+      val stars = withRep.where(col("id") =!= col("rep"))
+        .select(col("rep").as("a"), col("id").as("b")) // rep = min id, so a < b
+      val repBanded = banded.join(
+        withRep.where(col("id") === col("rep")).select("id"), Seq("id"), "left_semi")
+      bandPairs(repBanded).union(stars)
+    }
   }
 
   /** SimHash near-dup pairs with pigeonhole banding over a `bits`-wide
@@ -156,25 +191,54 @@ object Dedup {
     * nibble band collapse into enormous buckets at >=10^8 docs.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int, bits: Int = 60): DataFrame = {
+                   maxHamming: Int, bits: Int = 60,
+                   collapse: Boolean = true): DataFrame = {
     val bands = maxHamming + 1
     require(bits >= bands, s"need at least one bit per band ($bands bands)")
-    val bandBits = (bits + bands - 1) / bands // ceil: every bit covered
-    val sh = TextOps.simhash(docs, idCol, textCol, bits)
+    // variable-width contiguous bands (widths differ by <= 1) so EVERY band
+    // covers real hash bits: with the old uniform ceil width, a band whose
+    // bit range lay entirely above `bits` (e.g. maxHamming=30 at bits=60)
+    // had key 0 for every document — that band's self-join degenerated into
+    // an unblocked all-pairs candidate explosion (ADVICE r2). Pigeonhole
+    // losslessness is unchanged: bands disjoint bands cover all bits, so a
+    // pair within maxHamming Hamming distance agrees on at least one band.
+    val baseW = bits / bands
+    val widths = Array.tabulate(bands)(b => baseW + (if (b < bits % bands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val sh0 = TextOps.simhash(docs, idCol, textCol, bits)
       .select(col(idCol).as("id"), col("simhash"))
-    val banded = sh.select(col("id"), col("simhash"),
-      explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("key",
-        expr(s"shiftright(simhash, band * $bandBits) & ${(1L << bandBits) - 1}"))
-    banded.as("x").join(banded.as("y"),
+    // identical-simhash collapse: a cluster of g equal hashes (exact dups,
+    // templated boilerplate) shares every band key — banding it directly
+    // costs g²/2 pairs on one key. Collapse to the min-id representative,
+    // band representatives only, re-expand as (rep, member, hamming=0) star
+    // rows. Subset-with-equal-closure semantics as in
+    // [[minhashLshCandidates]]: hamming(a, b) = hamming(rep_a, rep_b) when
+    // signatures are equal, so every dropped pair is bridged through stars.
+    val sh = if (collapse) sh0.groupBy("simhash").agg(min("id").as("id"))
+      .select(col("id"), col("simhash")) else sh0
+    val bandSpec = array((0 until bands).map { b =>
+      struct(lit(b).as("band"), lit(offsets(b)).as("off"),
+        lit((1L << widths(b)) - 1).as("mask"))
+    }: _*)
+    val banded = sh.select(col("id"), col("simhash"), explode(bandSpec).as("bs"))
+      .select(col("id"), col("simhash"), col("bs.band").as("band"),
+        expr("shiftright(simhash, bs.off) & bs.mask").as("key"))
+    val repPairs = banded.as("x").join(banded.as("y"),
       col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         col("x.simhash").as("sa"), col("y.simhash").as("sb"))
       .distinct()
-      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
       .where(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
+    if (!collapse) repPairs
+    else {
+      val stars = sh0.join(sh.select(col("id").as("rep"), col("simhash")), "simhash")
+        .where(col("id") =!= col("rep"))
+        .select(col("rep").as("a"), col("id").as("b"), lit(0).cast("int").as("hamming"))
+      repPairs.union(stars)
+    }
   }
 
   /** Embedding near-dup pairs within a blocking key, cosine >= minCos.

@@ -329,10 +329,18 @@ object DocQueries {
          |  SELECT id, i // 2 AS band,
          |         string_agg(i || ':' || mh, ',' ORDER BY i || ':' || mh) AS sig
          |  FROM sigs GROUP BY 1, 2),
-         |cands AS (
+         |fullsig AS (
+         |  SELECT id, string_agg(sig, '|' ORDER BY sig) AS fs FROM banded GROUP BY 1),
+         |reps AS (SELECT fs, min(id) AS rep FROM fullsig GROUP BY 1),
+         |withrep AS (SELECT f.id, r.rep FROM fullsig f JOIN reps r USING (fs)),
+         |stars AS (SELECT rep AS a, id AS b FROM withrep WHERE id <> rep),
+         |repbanded AS (
+         |  SELECT b.* FROM banded b JOIN withrep w ON w.id = b.id AND w.id = w.rep),
+         |reppairs AS (
          |  SELECT DISTINCT x.id AS a, y.id AS b
-         |  FROM banded x JOIN banded y
-         |    ON x.band = y.band AND x.sig = y.sig AND x.id < y.id)
+         |  FROM repbanded x JOIN repbanded y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.id < y.id),
+         |cands AS (SELECT a, b FROM reppairs UNION ALL SELECT a, b FROM stars)
          |SELECT CAST(count(*) AS BIGINT) AS cand_pairs,
          |       CAST(coalesce(sum(a * 31 + b), 0) AS BIGINT) AS pair_checksum
          |FROM cands""".stripMargin
@@ -350,15 +358,19 @@ object DocQueries {
         |  SELECT doc_id,
         |         CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
         |  FROM bits GROUP BY doc_id),
+        |reps AS (SELECT min(doc_id) AS doc_id, simhash FROM simhashes GROUP BY simhash),
         |banded AS (
         |  SELECT doc_id, band, (simhash >> (band * 15)) & 32767 AS key, simhash
-        |  FROM simhashes, LATERAL unnest(generate_series(0, 3)) g(band)),
+        |  FROM reps, LATERAL unnest(generate_series(0, 3)) g(band)),
         |cands AS (
         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
         |  FROM banded x JOIN banded y
         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-        |pairs AS (SELECT *, bit_count(xor(sa, sb)) AS hamming
-        |          FROM cands WHERE bit_count(xor(sa, sb)) <= 3)
+        |reppairs AS (SELECT a, b, bit_count(xor(sa, sb)) AS hamming
+        |             FROM cands WHERE bit_count(xor(sa, sb)) <= 3),
+        |stars AS (SELECT r.doc_id AS a, s.doc_id AS b, 0 AS hamming
+        |          FROM simhashes s JOIN reps r USING (simhash) WHERE s.doc_id <> r.doc_id),
+        |pairs AS (SELECT * FROM reppairs UNION ALL SELECT * FROM stars)
         |SELECT (SELECT CAST(count(DISTINCT simhash) AS BIGINT) FROM simhashes) AS distinct_simhash,
         |       (SELECT CAST(sum(simhash % 1000003) AS BIGINT) FROM simhashes) AS simhash_checksum,
         |       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS pairs_hamming_le3,
