@@ -139,19 +139,26 @@ object Similarity {
     * volume ~ corpus * nProbe / nCentroids, and the probe selection is a
     * per-row sort over a broadcast centroid array — the standard
     * recall/cost dial when the corpus outgrows sign-LSH bucket granularity.
-    * Training cost is one MLlib KMeans fit on the corpus (sampled fits are
-    * the production variant; exact fit keeps this oracle-replayable).
+    * Training cost is one MLlib KMeans fit; `fitFraction < 1` fits the
+    * quantizer on a seeded sample of the corpus — the production default at
+    * web scale, where a full-corpus Lloyd pass per fit iteration is pure
+    * waste (centroid quality converges long before the sample does; every
+    * vector is still assigned to a list afterward, so only the quantizer's
+    * training set shrinks, never coverage). See [[ivfSeededTopK]] for the
+    * deterministic, oracle-replayable quantizer variant.
     */
   def ivfTopK(embs: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, nCentroids: Int, nProbe: Int, k: Int,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, fitFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(nProbe >= 1 && nProbe <= nCentroids)
+    require(fitFraction > 0.0 && fitFraction <= 1.0)
     val e = embs.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
       .withColumn("fv", array_to_vector(col("v")))
+    val fitSet = if (fitFraction < 1.0) e.sample(withReplacement = false, fitFraction, seed) else e
     val model = new KMeans().setK(nCentroids).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("list_id").fit(e)
+      .setFeaturesCol("fv").setPredictionCol("list_id").fit(fitSet)
     val corpus = model.transform(e).select(col("id"), col("v"), col("list_id"))
     // centroids are tiny (nCentroids x dim): embed them as an in-row array
     val centArr = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
@@ -169,6 +176,54 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("cent.cid").as("list_id"))
     val scored = probes.join(corpus,
       Seq("list_id")).where(col("query_id") =!= col("id"))
+      .withColumn("sim", round(cosine(col("qv"), col("v")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
+  }
+
+  /** IVF with a DETERMINISTIC seeded coarse quantizer: the centroids are the
+    * vectors of the `nCentroids` smallest ids in the corpus, and every
+    * vector joins the inverted list of its nearest centroid under
+    * (round(d², 6) asc, centroid id asc) — a total order both engines
+    * reproduce bit-for-bit, so unlike the KMeans fit of [[ivfTopK]] the
+    * whole operator has an exact SQL twin (the driver's DuckDB oracle
+    * replays it row-for-row). d² is composed from three left-to-right dot
+    * products (v·v − 2·v·c + c·c) through the same codegen'd [[dot]]
+    * expression the scoring path uses, so the float arithmetic matches
+    * DuckDB's list_dot_product association exactly.
+    *
+    * Scale shape: the centroid row is a one-row broadcast, list assignment
+    * is MAP-ONLY (no fit job at all), and candidates flow through a plain
+    * list_id equi-join — corpus × nProbe/nCentroids, never query × corpus.
+    * Seeded centroids trade recall per probe against KMeans centroids;
+    * probing more lists buys it back, which is the standard IVF dial.
+    */
+  def ivfSeededTopK(embs: DataFrame, idCol: String, vecCol: String,
+                    queryPred: Column, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids)
+    val e = embs.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    val centsRow = e.orderBy("id").limit(nCentroids)
+      .agg(collect_list(struct(col("id").as("cid"), col("v").as("cv"))).as("cents"))
+    // (round(d2,6), cid) per centroid, for one vector column `vc`
+    def centDist(vc: Column): Column = transform(col("cents"), c =>
+      struct(
+        round(dot(vc, vc) - lit(2.0) * dot(vc, c.getField("cv"))
+          + dot(c.getField("cv"), c.getField("cv")), 6).as("d2"),
+        c.getField("cid").as("cid")))
+    val corpus = e.crossJoin(broadcast(centsRow))
+      .withColumn("list_id", array_min(centDist(col("v"))).getField("cid"))
+      .select(col("id"), col("v"), col("list_id"))
+    val probes = embs.where(queryPred)
+      .select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
+      .crossJoin(broadcast(centsRow))
+      .withColumn("probe", explode(slice(array_sort(centDist(col("qv"))), 1, nProbe)))
+      .select(col("query_id"), col("qv"), col("probe.cid").as("list_id"))
+    // each corpus vector lives in exactly one list, so a (query, candidate)
+    // pair joins through at most one probe — no dedup needed
+    val scored = probes.join(corpus, Seq("list_id"))
+      .where(col("query_id") =!= col("id"))
       .withColumn("sim", round(cosine(col("qv"), col("v")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))

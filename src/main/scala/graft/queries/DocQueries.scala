@@ -193,7 +193,10 @@ object DocQueries {
     // — the driver records the weaker rows-only check; IvfSpec-style
     // recall/equivalence assertions live in OpsSpec
     "emb_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(embs(s, dir), "vec_id", "embedding",
+      // deterministic seeded quantizer: unlike the KMeans fit (ivfTopK,
+      // covered by OpsSpec equivalence + recall tests), this variant has an
+      // exact DuckDB twin, closing the r2 no_oracle gap
+      Similarity.ivfSeededTopK(embs(s, dir), "vec_id", "embedding",
         col("vec_id") < 10, nCentroids = 8, nProbe = 3, k = 3)
         .orderBy("query_id", "rank")),
 
@@ -481,6 +484,35 @@ object DocQueries {
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, sim
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "emb_ivf" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cents AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT 8),
+        |ad AS (
+        |  SELECT e.id, e.v, c.cid,
+        |         round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+        |               + list_dot_product(c.cv, c.cv), 6) AS d2
+        |  FROM e, cents c),
+        |assign AS (
+        |  SELECT id, v, cid AS list_id
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn FROM ad)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT id AS query_id, v AS qv, cid AS list_id
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2 ASC, cid ASC) AS rn
+        |        FROM ad WHERE id < 10)
+        |  WHERE rn <= 3),
+        |scored AS (
+        |  SELECT p.query_id, a.id,
+        |         CAST(round(list_dot_product(p.qv, a.v) /
+        |               (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS DOUBLE) AS sim
+        |  FROM probes p JOIN assign a USING (list_id) WHERE a.id <> p.query_id),
+        |ranked AS (
+        |  SELECT query_id, id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, id AS neighbor_id, sim
         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "emb_dedup_cosine" ->

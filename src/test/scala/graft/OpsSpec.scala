@@ -348,6 +348,47 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 1L && r.getDouble(3) == 1.0) // same vector, same list
   }
 
+  test("ivf sampled fit: full-probe == brute force, recall at nProbe 2 >= 0.6") {
+    val embs = (0 until 80).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(8)(d => (c * 10).toFloat + 0.1f * ((i + d) % 5)))
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", $"vec_id" < 8, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // probing every list is exact regardless of quantizer quality — holds
+    // for the sampled fit too
+    val full = Similarity.ivfTopK(embs, "vec_id", "embedding", $"vec_id" < 8,
+      nCentroids = 4, nProbe = 4, k = 3, fitFraction = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(full == brute)
+    // sampled-fit recall vs brute force at nProbe 2 of 4
+    val approx = Similarity.ivfTopK(embs, "vec_id", "embedding", $"vec_id" < 8,
+      nCentroids = 4, nProbe = 2, k = 3, fitFraction = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (approx & brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("ivf seeded quantizer: full-probe == brute force; map-only assignment finds dup") {
+    val embs = (0 until 60).map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(8)(d => (c * 10).toFloat + 0.1f * ((i + d) % 5)))
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding", $"vec_id" < 4, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val full = Similarity.ivfSeededTopK(embs, "vec_id", "embedding", $"vec_id" < 4,
+      nCentroids = 4, nProbe = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(full == brute)
+    // identical vectors share a list under ANY quantizer: dup found at nProbe 1
+    val dup = Seq((0L, Array.fill(8)(1.0f)), (1L, Array.fill(8)(1.0f)),
+      (2L, Array.fill(8)(-5.0f)), (3L, Array.fill(8)(-5.1f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.ivfSeededTopK(dup, "vec_id", "embedding", $"vec_id" === 0,
+      nCentroids = 2, nProbe = 1, k = 1).head()
+    assert(r.getLong(2) == 1L && r.getDouble(3) == 1.0)
+  }
+
   test("bpe pre-tokenizer: contractions, space-prefixed runs, punctuation") {
     val r = Seq("the fox's 42 jumps, over!").toDF("text")
       .select(TextOps.bpeTokens(col("text")).as("t"))
