@@ -76,9 +76,13 @@ object EntityLinker {
     * `mention`, `entity`, or `score` (fails fast otherwise).
     */
   def link(turns: DataFrame, textCol: String = "text"): DataFrame = {
-    val clash = Seq("link", "mention", "entity", "score").filter(turns.columns.contains)
+    // only the three APPENDED columns can clash; the exploded struct lives
+    // in a prefixed temp column so a legitimate input `link` column passes
+    // through untouched (ADVICE r2)
+    val clash = Seq("mention", "entity", "score").filter(turns.columns.contains)
     require(clash.isEmpty,
       s"input already has column(s) ${clash.mkString(", ")} — rename them before link()")
+    val tmp = "__graft_link"
     val toks = split(Extractor.normalizeCol(col(textCol)), " ")
     val perAlias = aliases.map { alias =>
       val best = bestOf(toks, ambiguous(alias))
@@ -89,10 +93,10 @@ object EntityLinker {
           best.getField("score").as("score")))
     }
     turns
-      .withColumn("link", explode(array_compact(array(perAlias: _*))))
-      .withColumn("mention", col("link.mention"))
-      .withColumn("entity", col("link.entity"))
-      .withColumn("score", col("link.score"))
-      .drop("link")
+      .withColumn(tmp, explode(array_compact(array(perAlias: _*))))
+      .withColumn("mention", col(s"$tmp.mention"))
+      .withColumn("entity", col(s"$tmp.entity"))
+      .withColumn("score", col(s"$tmp.score"))
+      .drop(tmp)
   }
 }

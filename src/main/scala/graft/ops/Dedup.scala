@@ -30,22 +30,32 @@ object Dedup {
     * value itself is still computed exactly over every shingle, so surviving
     * pairs have exact scores. Pairs whose only common shingles are hot ones
     * are missed — the standard, documented recall trade of df-capped
-    * blocking. `maxDf <= 0` disables the cap (test-scale only).
+    * blocking; NOTE the cap is ON by default (maxDf = 1000), so default
+    * calls trade that recall for the bounded candidate count. `maxDf <= 0`
+    * disables the cap (test-scale only).
+    *
+    * This function is plan-construction only — no Spark job runs until the
+    * caller acts on the result (the hot-shingle set is an anti-join inside
+    * the plan, not a driver-side lookup). Pass `auditDrops = true` for the
+    * diagnostic eager count of dropped shingles (one extra job; keep it off
+    * production hot paths).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int, minJ: Double, maxDf: Int = 1000): DataFrame = {
+                        k: Int, minJ: Double, maxDf: Int = 1000,
+                        auditDrops: Boolean = false): DataFrame = {
     val sh = TextOps.shingles(docs, idCol, textCol, k)
       .select(col(idCol).as("id"), col("shingle")).distinct()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val blocked = if (maxDf > 0) {
-      val dfTab = sh.groupBy("shingle").agg(count(lit(1)).as("df")).cache()
-      val hot = dfTab.where(col("df") > maxDf)
-      val Array(dropped, droppedRows) = hot
-        .agg(count(lit(1)), coalesce(sum("df"), lit(0L))).head()
-        .toSeq.map(_.asInstanceOf[Long]).toArray
-      if (dropped > 0)
-        log.warn(s"ngramJaccardPairs: dropped $dropped shingles with df > $maxDf " +
+      val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .where(col("df") > maxDf)
+      if (auditDrops) {
+        val Array(dropped, droppedRows) = hot
+          .agg(count(lit(1)), coalesce(sum("df"), lit(0L))).head()
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        log.warn(s"ngramJaccardPairs: dropping $dropped shingles with df > $maxDf " +
           s"($droppedRows doc-shingle rows) from candidate generation")
+      }
       sh.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")
     } else sh
     val cands = blocked.as("x").join(blocked.as("y"), Seq("shingle"))
@@ -243,30 +253,31 @@ object Dedup {
 
   /** Embedding near-dup pairs within a blocking key, cosine >= minCos.
     *
-    * The pair count is quadratic WITHIN each block, so the block cardinality
-    * is audited up front: the max block size is logged always, and when
-    * `maxBlock > 0` any block larger than that is sub-blocked by a
-    * deterministic sign-LSH bucket (`subBlockPlanes` hyperplanes) before the
-    * self-join — bounding the quadratic term at the cost of missing pairs
-    * that a hyperplane separates inside an oversized block (documented
-    * recall trade; small blocks are untouched, so default-call semantics on
-    * bounded blocks are exact). `maxBlock <= 0` keeps the exact all-pairs
-    * behavior with the audit log only.
+    * The pair count is quadratic WITHIN each block, so when `maxBlock > 0`
+    * any block larger than that is sub-blocked by a deterministic sign-LSH
+    * bucket (`subBlockPlanes` hyperplanes) before the self-join — bounding
+    * the quadratic term at the cost of missing pairs that a hyperplane
+    * separates inside an oversized block (documented recall trade; blocks
+    * of size <= maxBlock keep their plain key, so their pairs are exact).
+    * The size test is a PER-ROW conditional inside the plan (block-sizes
+    * aggregation joined back), so plan construction runs no Spark job;
+    * `auditBlocks = true` adds the eager block-census log (one extra job —
+    * diagnostics only). `maxBlock <= 0` keeps the exact all-pairs behavior.
     */
   def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
                            blockCol: String, minCos: Double,
-                           maxBlock: Long = 0L, subBlockPlanes: Int = 4): DataFrame = {
+                           maxBlock: Long = 0L, subBlockPlanes: Int = 4,
+                           auditBlocks: Boolean = false): DataFrame = {
     val e0 = embs.select(col(idCol).as("id"), col(blockCol).as("blk"),
       Similarity.toDoubleVec(col(vecCol)).as("v"))
     val blockSizes = e0.groupBy("blk").agg(count(lit(1)).as("bsz"))
-    val top = blockSizes.agg(max("bsz"), count(lit(1))).head()
-    val (maxSz, nBlocks) = (top.getLong(0), top.getLong(1))
-    log.info(s"embeddingCosinePairs: $nBlocks blocks, max block size $maxSz" +
-      (if (maxBlock > 0 && maxSz > maxBlock)
-        s" > maxBlock=$maxBlock -> sign-LSH sub-blocking ($subBlockPlanes planes)"
-      else ""))
+    if (auditBlocks) {
+      val top = blockSizes.agg(max("bsz"), count(lit(1))).head()
+      log.info(s"embeddingCosinePairs: ${top.getLong(1)} blocks, max block size " +
+        s"${top.getLong(0)}" + (if (maxBlock > 0) s" (maxBlock=$maxBlock)" else ""))
+    }
     val e =
-      if (maxBlock > 0 && maxSz > maxBlock) {
+      if (maxBlock > 0) {
         val buckets = Similarity.lshBucket(
           e0.select(col("id"), col("v").as("vec")), "id", "vec", subBlockPlanes)
         e0.join(blockSizes, "blk").join(buckets, "id")

@@ -223,9 +223,13 @@ object DocQueries {
 
     "mm_frame_sample" -> ((s, dir) => {
       // video/audio shape: payload -> every 2nd complete 16-byte frame,
-      // pure codegen column ops (no UDF)
-      val media = docs(s, dir).select(
-        col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+      // pure codegen column ops (no UDF). ASCII + non-empty guard: the
+      // operator is byte-based while the SQL twin counts characters — the
+      // filter (chars == bytes, mirrored in the oracle) pins parity
+      // structurally instead of relying on the fixture being ASCII
+      val media = docs(s, dir)
+        .where(length(col("text")) === octet_length(col("text")) && length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
       val frames = Multimodal.frameSample(media, frameSize = 16, stride = 2)
       frames.agg(
         count(lit(1)).as("n_frames"),
@@ -236,9 +240,12 @@ object DocQueries {
 
     "mm_feature_knn" -> ((s, dir) => {
       // multimodal -> embedding -> similarity, end to end: deterministic
-      // feature stub (the encoder stand-in) feeding brute-force cosine top-k
-      val media = docs(s, dir).select(
-        col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+      // feature stub (the encoder stand-in) feeding brute-force cosine top-k.
+      // ASCII + non-empty guard as in mm_frame_sample (byte/char parity,
+      // and empty payloads give % 0 -> NULL in the SQL twin)
+      val media = docs(s, dir)
+        .where(length(col("text")) === octet_length(col("text")) && length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
       val feats = Multimodal.featureStub(media, dim = 16)
       Similarity.bruteForceTopK(feats, "media_id", "features", col("media_id") < 5, k = 3)
         .orderBy("query_id", "rank")
@@ -618,7 +625,8 @@ object DocQueries {
     "mm_frame_sample" ->
       """WITH f AS (
         |  SELECT t.doc_id, g.i AS frame_idx
-        |  FROM (SELECT doc_id, strlen(text) // 16 AS nf FROM documents) t,
+        |  FROM (SELECT doc_id, strlen(text) // 16 AS nf FROM documents
+        |        WHERE length(text) = strlen(text) AND strlen(text) > 0) t,
         |       LATERAL unnest(generate_series(0, t.nf - 1)) g(i)
         |  WHERE g.i % 2 = 0)
         |SELECT CAST(count(*) AS BIGINT) AS n_frames,
@@ -632,7 +640,8 @@ object DocQueries {
         |  SELECT doc_id AS media_id,
         |         list_transform(generate_series(0, 15),
         |           d -> CAST(((ascii(substr(text, ((d * 7) % strlen(text)) + 1, 1)) * 31 + d) % 13 - 6) AS DOUBLE)) AS v
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE length(text) = strlen(text) AND strlen(text) > 0),
         |q AS (SELECT media_id AS query_id, v AS qv FROM feats WHERE media_id < 5),
         |scored AS (
         |  SELECT query_id, media_id,

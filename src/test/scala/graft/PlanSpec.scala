@@ -118,4 +118,31 @@ class PlanSpec extends AnyFunSuite {
       embs, "vec_id", "embedding", "label", 0.5, maxBlock = 10, subBlockPlanes = 3))
     assert(!plan.contains("CartesianProduct"), plan.take(600))
   }
+
+  test("dedup operators are plan-construction only: building them runs zero Spark jobs") {
+    // VERDICT r2 #3 / ADVICE r2: the df-cap and block-size audits used to
+    // run an eager .head() at plan-construction time — one wasted full scan
+    // per call at production scale, and broken laziness for callers that
+    // build but never execute
+    val docs = Seq.tabulate(20)(i => (i.toLong, s"w$i x y z common tail"))
+      .toDF("doc_id", "text")
+    val embs = Seq.tabulate(20)(i => (i.toLong, Array.fill(4)(i.toFloat + 1f), "blk"))
+      .toDF("vec_id", "embedding", "label")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.1, maxDf = 5)
+      graft.ops.Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", "label", 0.5,
+        maxBlock = 10, subBlockPlanes = 3)
+      graft.ops.Dedup.minhashLshCandidates(
+        graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text", 3), 2)
+      graft.ops.Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      Thread.sleep(500) // listener events post asynchronously
+      assert(jobs.get() == 0, s"plan construction ran ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
