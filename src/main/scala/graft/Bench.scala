@@ -9,18 +9,26 @@ import org.apache.spark.sql.SparkSession
   * query suite timings on SPARK_GRAFT_SF_DIR, plus the north-rule scaling
   * evidence — the SAME extraction+materialization job on the SAME
   * pre-materialized input at two 4x parallelism pairs (2->8 and 8->32
-  * cores; shuffle partitions held at 32), reported as turns/sec per level
-  * and efficiency = (t_N / t_4N) / 4 (BASELINE.md protocol).
+  * cores), reported as turns/sec per level and efficiency =
+  * (t_N / t_4N) / 4 (BASELINE.md protocol).
   *
-  * Robustness (the round-1 artifact was corrupted by a 148 s co-tenant
-  * spike on one 2-core leg, yielding an impossible super-linear 2.54):
-  * every leg is measured in at least two spaced sessions with min-over-all
-  * runs as the capability estimate, and a validation loop re-measures any
-  * leg implicated in an invalid ratio — efficiency > 1.02 means the slow
-  * leg's minimum is still noise-inflated (min of true runs can never make
-  * a 4x pair super-linear), efficiency < 0.8 on the 2->8 pair re-probes
-  * both legs. The loop stops at a valid pair or after bounded retries, and
-  * the final JSON carries per-leg run counts so the estimate is auditable.
+  * Per-leg configuration scales with the leg, as it would on a real
+  * cluster: shuffle partitions and the extraction repartition are 4x the
+  * core count (r2 pinned 32 everywhere, leaving the 32-core leg one
+  * partition per core with no AQE headroom).
+  *
+  * Measurement protocol (pre-registered, ADVICE r2): a FIXED schedule of
+  * spaced sessions per leg — no conditional stopping, no re-measure loop —
+  * with min over the full sample as the capability estimate (the host
+  * shows multi-x co-tenant noise spikes; the min of true runs is the
+  * noise-robust capability statistic, and per-leg run counts ship in the
+  * JSON so the estimate is auditable).
+  *
+  * The artifact also carries a PURE-JVM cpu probe (no Spark): the same
+  * fixed per-thread hash loop at 8 and 32 threads. Its throughput ratio
+  * measures the host's per-core compression (turbo frequency + SMT sharing
+  * on a single box) independent of any Spark plan — the measured ceiling
+  * for the 8->32 pair that a real 4x-executor cluster would not have.
   */
 object Bench {
 
@@ -30,7 +38,7 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", (4 * cores).toString)
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.adaptive.enabled", "true")
@@ -44,10 +52,36 @@ object Bench {
   /** The timed job: read turns parquet -> extract triples -> hashed edge
     * table -> count (forces the full distributed computation).
     */
-  private def extractionJob(spark: SparkSession, turnsPath: String): Long = {
+  private def extractionJob(spark: SparkSession, turnsPath: String, cores: Int): Long = {
     val turns = spark.read.parquet(turnsPath)
-    val (_, edges) = Pipeline.build(turns, partitions = 32)
+    val (_, edges) = Pipeline.build(turns, partitions = 4 * cores)
     edges.count()
+  }
+
+  /** Pure-JVM per-core compression probe: `threads` workers each run the
+    * SAME fixed 64-bit mix loop; returns total Mops/s (best of `runs`).
+    */
+  private def cpuProbe(threads: Int, runs: Int): Double = {
+    val perThread = 200000000L
+    def mix(h0: Long): Long = {
+      var h = h0
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+      h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33; h
+    }
+    def once(): Double = {
+      val ts = (0 until threads).map { i =>
+        new Thread(() => {
+          var h = i + 1L; var j = 0L
+          while (j < perThread) { h = mix(h + j); j += 1 }
+          if (h == 42L) print("") // defeat dead-code elimination
+        })
+      }
+      val t0 = System.nanoTime()
+      ts.foreach(_.start()); ts.foreach(_.join())
+      val sec = (System.nanoTime() - t0) / 1e9
+      perThread * threads / sec / 1e6
+    }
+    (1 to runs).map(_ => once()).max
   }
 
   def main(args: Array[String]): Unit = {
@@ -71,10 +105,10 @@ object Bench {
       .withDefaultValue(Nil)
     def measure(cores: Int, warm: Int, runs: Int): Unit = {
       val spark = newSession(cores)
-      (1 to warm).foreach(_ => extractionJob(spark, turnsPath)) // discarded
+      (1 to warm).foreach(_ => extractionJob(spark, turnsPath, cores)) // discarded
       (1 to runs).foreach { _ =>
         val t0 = System.nanoTime()
-        extractionJob(spark, turnsPath)
+        extractionJob(spark, turnsPath, cores)
         runsByCores(cores) = ((System.nanoTime() - t0) / 1e9) :: runsByCores(cores)
       }
       spark.stop()
@@ -82,32 +116,28 @@ object Bench {
     def tmin(cores: Int): Double = runsByCores(cores).min
     def eff(lo: Int, hi: Int): Double = (tmin(lo) / tmin(hi)) / 4.0
 
-    // each leg in two spaced sessions (co-tenant noise decorrelates over
-    // minutes; min over spaced sessions estimates true capability)
-    measure(8, warm = 1, runs = 2)
-    measure(32, warm = 1, runs = 3)
-    measure(2, warm = 0, runs = 1)
-    measure(8, warm = 0, runs = 2)
-    measure(32, warm = 0, runs = 2)
-    measure(2, warm = 0, runs = 1)
-
-    // validation loop: reject/re-measure noise-implicated legs
-    var retries = 0
-    def invalid28 = eff(2, 8) > 1.02 || eff(2, 8) < 0.8
-    def invalid832 = eff(8, 32) > 1.02
-    while (retries < 3 && (invalid28 || invalid832)) {
-      if (eff(2, 8) > 1.02) measure(2, warm = 0, runs = 1)
-      else if (eff(2, 8) < 0.8) { measure(8, warm = 0, runs = 2); measure(2, warm = 0, runs = 1) }
-      if (invalid832) measure(8, warm = 0, runs = 1)
-      retries += 1
-    }
+    // PRE-REGISTERED schedule: 3 spaced sessions per leg, interleaved so
+    // co-tenant noise decorrelates across legs; run counts fixed up front
+    // (p2: 3, p8: 5, p32: 5) and never extended or cut short.
+    val schedule = Seq(
+      (8, 1, 2), (32, 1, 2), (2, 1, 1),
+      (8, 0, 2), (32, 0, 2), (2, 0, 1),
+      (32, 0, 1), (8, 0, 1), (2, 0, 1))
+    schedule.foreach { case (c, w, r) => measure(c, w, r) }
 
     val (t2, t8, t32) = (tmin(2), tmin(8), tmin(32))
+
+    // host per-core compression ceiling, measured without Spark
+    val cpu8 = cpuProbe(8, 3)
+    val cpu32 = cpuProbe(32, 3)
+    val cpuCeiling = (cpu32 / cpu8) / 4.0
 
     // ---- driver-checked query suite on sfDir ----------------------------
     // two passes, min per query: the host shows multi-x co-tenant noise on
     // job-launch-heavy (iterative) queries, and pass 2 also removes
-    // first-use codegen/JIT cost from the capability estimate
+    // first-use codegen/JIT cost from the capability estimate. BOTH passes
+    // ship in the artifact (queries_pass1/queries_pass2/queries_min2) so
+    // the shipped numbers match the protocol.
     val spark = newSession(32)
     def suitePass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -116,10 +146,14 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     val p1 = suitePass().toMap
-    val results = suitePass().map { case (n, t) => n -> math.min(t, p1(n)) }
+    val p2 = suitePass().toMap
+    val results = p1.keys.toSeq.sorted.map(n => n -> math.min(p1(n), p2(n)))
     val total = results.map(_._2).sum
 
-    val qs = (results ++ Seq(
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+
+    val qs = jmap(results ++ Seq(
       "extract_turns_per_sec_p8" -> nTurns / t8,
       "extract_turns_per_sec_p32" -> nTurns / t32,
       "extract_secs_p2" -> t2,
@@ -130,12 +164,16 @@ object Bench {
       "scaling_runs_p2" -> runsByCores(2).size.toDouble,
       "scaling_runs_p8" -> runsByCores(8).size.toDouble,
       "scaling_runs_p32" -> runsByCores(32).size.toDouble,
-      "scaling_retries" -> retries.toDouble,
+      "scaling_preregistered" -> 1.0,
       "scaling_valid_2_to_8" -> (if (eff(2, 8) >= 0.8 && eff(2, 8) <= 1.02) 1.0 else 0.0),
+      "cpu_probe_mops_p8" -> cpu8,
+      "cpu_probe_mops_p32" -> cpu32,
+      "cpu_ceiling_8_to_32" -> cpuCeiling,
       "bench_turns" -> nTurns.toDouble))
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val extra = "\"queries_min2\":" + jmap(results) +
+      ",\"queries_pass1\":" + jmap(p1.toSeq.sortBy(_._1)) +
+      ",\"queries_pass2\":" + jmap(p2.toSeq.sortBy(_._1))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

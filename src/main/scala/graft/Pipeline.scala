@@ -157,6 +157,22 @@ object Pipeline {
   def writeStatsCsv(stats: DataFrame, path: String): Unit =
     stats.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Wide measures matrix — the reference's transposed pivot CSV
+    * (`fernandez_et_al/main.py:284-286,299-301`: pandas DataFrame
+    * transpose -> to_csv, one row per measure, one column per dataset).
+    * Input is [[measuresMany]]'s long table; the pivot's column arity is
+    * the DATASET count (operator-bounded, like the reference's matrix
+    * width), never the measure count.
+    */
+  def measuresMatrix(longStats: DataFrame): DataFrame =
+    longStats.groupBy("measure").pivot("dataset").agg(first("value"))
+
+  /** Matrix CSV sink: [[measuresMatrix]] as one headered CSV. */
+  def writeStatsMatrixCsv(longStats: DataFrame, path: String): Unit =
+    measuresMatrix(longStats).orderBy("measure")
+      .coalesce(1) // one small matrix file, like the reference's single CSV
+      .write.mode("overwrite").option("header", "true").csv(path)
+
   /** Optional JDBC stats sink — the literal lodcc S9 binding
     * (`db/SqliteHelper.py:153-171` upserts the measure row into an RDBMS).
     * The long-format Parquet table is the default, cluster-native sink; this

@@ -9,10 +9,12 @@ object ScalingProbe {
   def session(cores: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    val shuffleParts = sys.env.get("PROBE_SHUFFLE")
+      .map(_.toInt).map(p => if (p < 0) 4 * cores else p).getOrElse(32)
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"probe-$cores")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shuffleParts.toString)
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.adaptive.enabled", "true")
@@ -25,7 +27,9 @@ object ScalingProbe {
 
   def job(spark: SparkSession, path: String): Long = {
     val turns = spark.read.parquet(path)
-    val (_, edges) = Pipeline.build(turns, partitions = sys.env.getOrElse("PROBE_PARTS", "32").toInt)
+    val parts = sys.env.get("PROBE_PARTS").map(_.toInt)
+      .map(p => if (p < 0) 4 * spark.sparkContext.defaultParallelism else p).getOrElse(32)
+    val (_, edges) = Pipeline.build(turns, partitions = parts)
     edges.count()
   }
 

@@ -158,4 +158,21 @@ object QueryTemplates {
       BgpMatcher.render(template.sparql, full)
     }
   }
+
+  /** lodcc's .sparql file sink (`query/generator.py:118-121`: one file per
+    * instantiated query): render up to `maxN` embeddings per template and
+    * write each as <dir>/<template>_<i>.sparql. Driver-side file IO by
+    * design — the rendered strings are tiny and <= maxN * |templates| many,
+    * exactly like the reference's generator output. Returns written paths.
+    */
+  def writeSparql(edges: DataFrame, templates: Seq[Template], dir: String,
+                  maxN: Int = 3): Seq[java.nio.file.Path] = {
+    val d = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    templates.flatMap { tpl =>
+      instantiate(edges, tpl, maxN).zipWithIndex.map { case (s, i) =>
+        java.nio.file.Files.write(d.resolve(s"${tpl.name}_$i.sparql"),
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+  }
 }

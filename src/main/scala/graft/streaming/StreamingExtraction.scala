@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.Pipeline
+
+/** End-to-end streaming flagship path: a transcripts STREAM -> per-turn
+  * triple extraction -> hashed edge table, appended per micro-batch with a
+  * TableIO-style lineage row per batch (north rule: every stage checkpoints
+  * with lineage and resumes exactly).
+  *
+  * The extraction expression is stateless per turn, so inside foreachBatch
+  * the exact BATCH plan ([[Pipeline.build]], including the stable
+  * (conv_id, turn_idx) emission-order repartition) runs unchanged on each
+  * micro-batch — batch/stream parity is structural, not re-implemented
+  * (StreamingSpec asserts edge-multiset equality on a two-batch input).
+  *
+  * Sink layout: <root>/edges/batch_id=<n>/ parquet (append-only,
+  * partitioned by micro-batch) plus <root>/lineage/ rows mirroring
+  * [[graft.io.Lineage]] (stage, partition_id = batch id,
+  * input_snapshot = "batch-<id>", row_count, wall_ms). Recovery: the
+  * stream's checkpoint replays an uncommitted batch, and dynamic partition
+  * overwrite rewrites ONLY that batch's directory — idempotent at batch_id
+  * granularity, the Iceberg-snapshot-per-batch analog under plain parquet
+  * (same trade as [[graft.io.TableIO]], SURVEY.md §7.0).
+  */
+object StreamingExtraction {
+
+  def run(turns: DataFrame, root: String, checkpoint: String,
+          partitions: Int = 32): StreamingQuery = {
+    turns.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val t0 = System.nanoTime()
+        val (_, edges) = Pipeline.build(batch, partitions)
+        val out = edges.withColumn("batch_id", lit(batchId))
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try out.write.mode("overwrite").partitionBy("batch_id").parquet(s"$root/edges")
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        // count from the written files, pruned to this batch's partition —
+        // no recompute of the extraction plan
+        val rows = spark.read.parquet(s"$root/edges")
+          .where(col("batch_id") === batchId).count()
+        val wallMs = (System.nanoTime() - t0) / 1000000
+        import spark.implicits._
+        Seq(graft.io.Lineage("stream_extract", batchId.toInt, s"batch-$batchId",
+          rows, wallMs))
+          .toDF().write.mode("append").parquet(s"$root/lineage")
+        ()
+      }
+      .start()
+  }
+}

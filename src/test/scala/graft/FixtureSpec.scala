@@ -195,4 +195,28 @@ class FixtureSpec extends AnyFunSuite {
   test("A14 reciprocity = 0 on the fixture") {
     assert(d(one(CoreMeasures.reciprocity(edges)), "reciprocity") == 0.0)
   }
+
+  test("measures matrix: measure x dataset pivot CSV round-trips (main.py:284-301)") {
+    val m = graft.Pipeline.measuresMany(
+      Seq("dsA" -> edges, "dsB" -> edges.limit(3)),
+      features = Set("basic", "degree", "reciprocity"))
+    val matrix = graft.Pipeline.measuresMatrix(m)
+    assert(matrix.columns.toSeq == Seq("measure", "dsA", "dsB"))
+    val longRows = m.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(matrix.count() == longRows.keys.map(_._2).toSet.size)
+    // every matrix cell equals the long-table value
+    matrix.collect().foreach { r =>
+      assert(r.getDouble(1) == longRows(("dsA", r.getString(0))))
+      assert(r.getDouble(2) == longRows(("dsB", r.getString(0))))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("stats_matrix").toString + "/out"
+    graft.Pipeline.writeStatsMatrixCsv(m, dir)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.columns.toSeq == Seq("measure", "dsA", "dsB"))
+    assert(back.count() == matrix.count())
+    val backM = back.collect()
+      .map(r => r.getString(0) -> r.getString(1).toDouble).toMap
+    assert(backM("m") == 7.0)
+  }
 }

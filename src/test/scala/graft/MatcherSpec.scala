@@ -69,6 +69,21 @@ class MatcherSpec extends AnyFunSuite {
     assert(QueryTemplates.instantiate(edges, QueryTemplates.s1).isEmpty)
   }
 
+  test(".sparql file sink: one file per instantiated query (generator.py:118-121)") {
+    import graft.matcher.QueryTemplates
+    val dir = java.nio.file.Files.createTempDirectory("sparql_out").toString
+    val written = QueryTemplates.writeSparql(edges,
+      Seq(QueryTemplates.l1, QueryTemplates.s1), dir, maxN = 2)
+    val rendered = QueryTemplates.instantiate(edges, QueryTemplates.l1, maxN = 2)
+    // s1 has no embedding on the fixture -> contributes no files
+    assert(written.size == rendered.size && written.nonEmpty)
+    written.zipWithIndex.foreach { case (p, i) =>
+      assert(p.getFileName.toString == s"l1_$i.sparql")
+      val back = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      assert(back == rendered(i)) // file round-trips the rendered query
+    }
+  }
+
   test("full WatDiv inventory: 20 templates, 4 families, all instantiable") {
     import graft.matcher.QueryTemplates
     assert(QueryTemplates.all.size == 20)

@@ -75,4 +75,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("end-to-end streaming extraction: two-batch stream == batch edges, lineage per batch") {
+    import graft.streaming.StreamingExtraction
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-x").toString
+    val q = StreamingExtraction.run(input.toDS().toDF(), root, s"$root/_ckpt",
+      partitions = 4)
+    try {
+      val b1 = (0L until 4L).flatMap(c => (0 until 3).map(i => Transcripts.turn(c, i)))
+      val b2 = (4L until 8L).flatMap(c => (0 until 3).map(i => Transcripts.turn(c, i)))
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+
+      // edge MULTISET equality with the batch plan over the union
+      val streamed = spark.read.parquet(s"$root/edges").drop("batch_id")
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      val batch = graft.Pipeline.build((b1 ++ b2).toDF(), partitions = 4)._2
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(streamed == batch)
+
+      // one lineage row per micro-batch, counts match the written partitions
+      val lin = spark.read.parquet(s"$root/lineage")
+        .orderBy("partition_id").collect()
+      assert(lin.map(_.getAs[Int]("partition_id")).toSeq == Seq(0, 1))
+      assert(lin.map(_.getAs[Long]("row_count")).sum == streamed.size)
+      assert(lin.forall(_.getAs[String]("stage") == "stream_extract"))
+    } finally q.stop()
+  }
 }
