@@ -58,6 +58,36 @@ object GraphTables {
       .toDF("vhash", "vid")
   }
 
+  /** Insertion-order vertex dictionary — the reference's LITERAL id
+    * assignment (`edgelist.py:124-136`: a dict filled while scanning the
+    * edgelist top to bottom, subject before object on each line), closing
+    * the documented [[vertexIds]] deviation when the caller has an explicit
+    * per-edge order column (N-Triples line number / edgelist row id):
+    * first_seen(v) = min over v's edges of (2*ord | 2*ord+1) for
+    * subject | object slots, and ids are consecutive in first_seen order
+    * (ties — possible when ordCol is not unique per edge — break on the
+    * vertex value, keeping the order total and engine-portable).
+    * Same scale shape as [[vertexIds]]: range-repartition + local sort +
+    * zipWithIndex — a distributed sort, never a global single-task window.
+    */
+  def vertexIdsFirstSeen(edges: DataFrame, ordCol: String,
+                         partitions: Int = 32): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val firstSeen = edges
+      .select(col("src").as("vhash"), (col(ordCol).cast("long") * 2).as("ord"))
+      .union(edges.select(col("dst").as("vhash"),
+        (col(ordCol).cast("long") * 2 + 1).as("ord")))
+      .groupBy("vhash").agg(min("ord").as("first_seen"))
+    firstSeen
+      .repartitionByRange(partitions, col("first_seen"), col("vhash"))
+      .sortWithinPartitions("first_seen", "vhash")
+      .as[(String, Long)].rdd
+      .zipWithIndex()
+      .map { case ((v, _), i) => (v, i) }
+      .toDF("vhash", "vid")
+  }
+
   /** Integer edgelist: join edges through the vertex-id dictionary twice. */
   def intEdges(edges: DataFrame, ids: DataFrame): DataFrame =
     edges

@@ -122,6 +122,22 @@ object AlgoQueries {
       idStats.crossJoin(checksum)
     }),
 
+    "kg_vertex_ids_first_seen" -> ((s, dir) => {
+      // insertion-order dictionary (edgelist.py:124-136 literal semantics):
+      // ids in first-seen scan order, subject before object per edge; the
+      // scan order here is the deterministic (l_orderkey, l_linenumber) key
+      val e = s.read.parquet(s"$dir/lineitem.parquet").select(
+        concat(lit("v"), (col("l_orderkey") % 4096).cast("string")).as("src"),
+        concat(lit("v"), (col("l_partkey") % 4096).cast("string")).as("dst"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("ord"))
+      val ids = GraphTables.vertexIdsFirstSeen(e, "ord")
+      ids.agg(
+        count(lit(1)).as("n_vertices"),
+        max("vid").as("max_vid"),
+        sum(col("vid") * (substring(col("vhash"), 2, 10).cast("long") % 97))
+          .as("checksum"))
+    }),
+
     "kg_hashed_edges" -> ((s, dir) => {
       // hashing is a bijection on this value set: counts survive xxh64_hex
       val t = liEdges(s, dir).select(
@@ -205,6 +221,26 @@ object AlgoQueries {
          |  (SELECT CAST(max(vid) AS BIGINT) FROM ids) AS max_vid,
          |  (SELECT CAST(sum(si.vid * 7 + di.vid * 3) AS BIGINT)
          |   FROM edges e JOIN ids si ON si.vhash = e.src JOIN ids di ON di.vhash = e.dst) AS checksum""".stripMargin,
+
+    "kg_vertex_ids_first_seen" ->
+      """WITH e AS (
+        |  SELECT 'v' || (l_orderkey % 4096) AS src,
+        |         'v' || (l_partkey % 4096) AS dst,
+        |         l_orderkey * 8 + l_linenumber AS ord
+        |  FROM lineitem),
+        |fs AS (
+        |  SELECT vhash, min(o) AS first_seen FROM (
+        |    SELECT src AS vhash, ord * 2 AS o FROM e
+        |    UNION ALL SELECT dst, ord * 2 + 1 FROM e) u
+        |  GROUP BY 1),
+        |ids AS (
+        |  SELECT vhash,
+        |         CAST(row_number() OVER (ORDER BY first_seen, vhash) - 1 AS BIGINT) AS vid
+        |  FROM fs)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+        |       CAST(max(vid) AS BIGINT) AS max_vid,
+        |       CAST(sum(vid * (CAST(substr(vhash, 2) AS BIGINT) % 97)) AS BIGINT) AS checksum
+        |FROM ids""".stripMargin,
 
     "kg_hashed_edges" ->
       s"""$edgesCte

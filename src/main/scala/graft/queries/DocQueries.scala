@@ -73,6 +73,26 @@ object DocQueries {
         coalesce(sum(col("a") * 31 + col("b")), lit(0L)).as("pair_checksum"))
     }),
 
+    "doc_dedup_clusters" -> ((s, dir) => {
+      // the end-to-end near-dup dedup op a training pipeline runs: MinHash
+      // LSH candidates (collapsed) -> weak connected components -> one
+      // keeper (= component id = min doc id) per cluster. The oracle
+      // replays the whole chain, CC via the same recursive-CTE pattern as
+      // kg_cc.
+      val d = docs(s, dir).repartition(32)
+      val sigs = Dedup.minhashSignatures(d, "doc_id", "text", shingleK = 3)
+      val cands = Dedup.minhashLshCandidates(sigs, rowsPerBand = 2)
+      val cc = graft.algo.ConnectedComponents.run(
+        cands.select(col("a").as("src"), col("b").as("dst")))
+      val sizes = cc.groupBy("component").agg(count(lit(1)).as("sz"))
+      docs(s, dir).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(sizes.agg(
+          count(lit(1)).as("dup_clusters"),
+          coalesce(max("sz"), lit(0L)).as("max_cluster"),
+          coalesce(sum(col("sz") - 1), lit(0L)).as("removed_docs"),
+          coalesce(sum("component"), lit(0L)).as("keeper_checksum")))
+    }),
+
     "doc_simhash" -> ((s, dir) => {
       // 60-bit SimHash (the web-scale width), 4 bands x 15 bits — the
       // pigeonhole blocking stays lossless for Hamming <= 3 while band keys
@@ -267,6 +287,39 @@ object DocQueries {
       |  ) q
       |)""".stripMargin
 
+  /** Shared CTE chain: doc shingles -> portable minhash signatures ->
+    * 2-row bands -> identical-fullsig collapse -> banded rep self-join +
+    * star re-expansion -> `cands(a, b)`. Exact twin of
+    * `Dedup.minhashSignatures` + `Dedup.minhashLshCandidates` (collapse on).
+    */
+  private val minhashCandsCtes: String = {
+    val coeffRows = Dedup.MinhashCoeffs.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""hs AS (SELECT DISTINCT doc_id,
+       |              ('0x' || substr(md5(shingle), 1, 15))::BIGINT & 2147483647 AS h
+       |       FROM sh),
+       |coeffs(i, a, b) AS (VALUES $coeffRows),
+       |sigs AS (
+       |  SELECT doc_id AS id, i, min((a * h + b) % ${Dedup.MinhashPrime}) AS mh
+       |  FROM hs, coeffs GROUP BY 1, 2),
+       |banded AS (
+       |  SELECT id, i // 2 AS band,
+       |         string_agg(i || ':' || mh, ',' ORDER BY i || ':' || mh) AS sig
+       |  FROM sigs GROUP BY 1, 2),
+       |fullsig AS (
+       |  SELECT id, string_agg(sig, '|' ORDER BY sig) AS fs FROM banded GROUP BY 1),
+       |reps AS (SELECT fs, min(id) AS rep FROM fullsig GROUP BY 1),
+       |withrep AS (SELECT f.id, r.rep FROM fullsig f JOIN reps r USING (fs)),
+       |stars AS (SELECT rep AS a, id AS b FROM withrep WHERE id <> rep),
+       |repbanded AS (
+       |  SELECT b.* FROM banded b JOIN withrep w ON w.id = b.id AND w.id = w.rep),
+       |reppairs AS (
+       |  SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM repbanded x JOIN repbanded y
+       |    ON x.band = y.band AND x.sig = y.sig AND x.id < y.id),
+       |cands AS (SELECT a, b FROM reppairs UNION ALL SELECT a, b FROM stars)""".stripMargin
+  }
+
   private val shPosCte =
     """shp AS (
       |  SELECT doc_id, i AS pos,
@@ -324,37 +377,32 @@ object DocQueries {
          |       CAST(coalesce(round(max(jaccard), 6), 0.0) AS DOUBLE) AS max_jaccard
          |FROM j""".stripMargin,
 
-    "doc_minhash_lsh" -> {
-      val coeffRows = Dedup.MinhashCoeffs.zipWithIndex
-        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    "doc_minhash_lsh" ->
       s"""WITH $shCte,
-         |hs AS (SELECT DISTINCT doc_id,
-         |              ('0x' || substr(md5(shingle), 1, 15))::BIGINT & 2147483647 AS h
-         |       FROM sh),
-         |coeffs(i, a, b) AS (VALUES $coeffRows),
-         |sigs AS (
-         |  SELECT doc_id AS id, i, min((a * h + b) % ${Dedup.MinhashPrime}) AS mh
-         |  FROM hs, coeffs GROUP BY 1, 2),
-         |banded AS (
-         |  SELECT id, i // 2 AS band,
-         |         string_agg(i || ':' || mh, ',' ORDER BY i || ':' || mh) AS sig
-         |  FROM sigs GROUP BY 1, 2),
-         |fullsig AS (
-         |  SELECT id, string_agg(sig, '|' ORDER BY sig) AS fs FROM banded GROUP BY 1),
-         |reps AS (SELECT fs, min(id) AS rep FROM fullsig GROUP BY 1),
-         |withrep AS (SELECT f.id, r.rep FROM fullsig f JOIN reps r USING (fs)),
-         |stars AS (SELECT rep AS a, id AS b FROM withrep WHERE id <> rep),
-         |repbanded AS (
-         |  SELECT b.* FROM banded b JOIN withrep w ON w.id = b.id AND w.id = w.rep),
-         |reppairs AS (
-         |  SELECT DISTINCT x.id AS a, y.id AS b
-         |  FROM repbanded x JOIN repbanded y
-         |    ON x.band = y.band AND x.sig = y.sig AND x.id < y.id),
-         |cands AS (SELECT a, b FROM reppairs UNION ALL SELECT a, b FROM stars)
+         |$minhashCandsCtes
          |SELECT CAST(count(*) AS BIGINT) AS cand_pairs,
          |       CAST(coalesce(sum(a * 31 + b), 0) AS BIGINT) AS pair_checksum
-         |FROM cands""".stripMargin
-    },
+         |FROM cands""".stripMargin,
+
+    "doc_dedup_clusters" ->
+      s"""WITH $shCte,
+         |$minhashCandsCtes,
+         |ue AS (SELECT a AS x, b AS y FROM cands UNION SELECT b, a FROM cands),
+         |verts AS (SELECT DISTINCT x AS v FROM ue),
+         |comp AS (
+         |  WITH RECURSIVE reach(v, r) AS (
+         |    SELECT v, v FROM verts
+         |    UNION
+         |    SELECT reach.v, ue.y FROM reach JOIN ue ON ue.x = reach.r
+         |  )
+         |  SELECT v, min(r) AS component FROM reach GROUP BY v),
+         |sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS dup_clusters,
+         |       CAST(coalesce(max(sz), 0) AS BIGINT) AS max_cluster,
+         |       CAST(coalesce(sum(sz - 1), 0) AS BIGINT) AS removed_docs,
+         |       CAST(coalesce(sum(component), 0) AS BIGINT) AS keeper_checksum
+         |FROM sizes""".stripMargin,
 
     "doc_simhash" ->
       """WITH toks AS (

@@ -82,6 +82,18 @@ class PlanSpec extends AnyFunSuite {
     assert(got.values.toSeq.sorted == (0L until got.size).toSeq)
   }
 
+  test("vertexIdsFirstSeen: ids in literal scan order (subject before object), no Window") {
+    // edgelist.py:124-136 semantics: scanning edges in ord order, each new
+    // vertex gets the next id, subject slot before object slot
+    val edges = Seq(
+      ("b", "a", 0L), ("c", "a", 1L), ("a", "d", 2L), ("d", "b", 3L))
+      .toDF("src", "dst", "ord")
+    val ids = graft.graph.GraphTables.vertexIdsFirstSeen(edges, "ord", partitions = 3)
+    assert(!planOf(ids).contains("Window"), planOf(ids).take(600))
+    val got = ids.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("b" -> 0L, "a" -> 1L, "c" -> 2L, "d" -> 3L))
+  }
+
   test("dedup candidate joins are hash joins, never cartesian") {
     val docs = Seq.tabulate(30)(i => (i.toLong, s"w$i x y z common tail tokens here"))
       .toDF("doc_id", "text")
