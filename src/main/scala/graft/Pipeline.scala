@@ -183,6 +183,36 @@ object Pipeline {
                      props: java.util.Properties = new java.util.Properties()): Unit =
     stats.write.mode("append").jdbc(url, table, props)
 
+  /** Wide stats upsert — the literal lodcc S9 write semantics
+    * (`db/SqliteHelper.py:153-171` save_attribute + `db/helpers.py:53-66`
+    * add-column-if-missing): the stats table keeps ONE ROW PER DATASET and
+    * ONE COLUMN PER MEASURE; saving a result auto-widens the table with any
+    * new measure columns (the ALTER TABLE .. ADD COLUMN analog) and
+    * replaces the dataset's row. Implemented over [[graft.io.TableIO]]
+    * snapshots — read the latest wide table, drop the dataset's old row,
+    * `unionByName(allowMissingColumns)` in the new row (missing cells stay
+    * null on both sides, exactly like fresh SQL columns), commit as the
+    * next snapshot. Returns the committed snapshot.
+    *
+    * `longStats` is the single dataset's long-format (measure, value)
+    * table; its pivot to one wide row is a driver-side transpose of a few
+    * dozen scalars, mirroring the reference's one-row-at-a-time writes.
+    */
+  def upsertStatsWide(io: graft.io.TableIO, table: String, dataset: String,
+                      longStats: DataFrame): io.Snapshot = {
+    val spark = longStats.sparkSession
+    val wide = longStats
+      .groupBy(lit(dataset).as("dataset"))
+      .pivot("measure").agg(first("value"))
+    val merged = io.latest(table) match {
+      case Some(_) =>
+        io.read(table).where(col("dataset") =!= dataset)
+          .unionByName(wide, allowMissingColumns = true)
+      case None => wide
+    }
+    io.commit(table, merged, stage = "stats_upsert", inputSnapshot = s"dataset:$dataset")
+  }
+
   /** Checkpointed, resumable run (north rule §7.3): every stage commits a
     * snapshot with per-partition lineage; a rerun (e.g. after a kill) skips
     * every stage whose output snapshot already exists for its input

@@ -66,4 +66,33 @@ class TableIOSpec extends AnyFunSuite {
       .map(t => t -> io.latest(t).get.id)
     assert(idsBefore == idsAfter, "resume must not produce new snapshots")
   }
+
+  test("wide stats upsert: row per dataset, ALTER-widening columns, row replace") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-tableio").toString
+    val io = new TableIO(spark, root)
+    def longStats(kv: (String, Double)*) = kv.toSeq.toDF("measure", "value")
+
+    // first dataset creates the table with its measure columns
+    graft.Pipeline.upsertStatsWide(io, "stats", "dsA", longStats("m" -> 7.0, "n" -> 3.0))
+    val t1 = io.read("stats")
+    assert(t1.columns.sorted.toSeq == Seq("dataset", "m", "n"))
+
+    // second dataset ALTER-widens with a new measure column; dsA's new
+    // column backfills null (fresh SQL column semantics)
+    graft.Pipeline.upsertStatsWide(io, "stats", "dsB", longStats("m" -> 1.0, "h_index" -> 2.0))
+    val t2 = io.read("stats")
+    assert(t2.columns.sorted.toSeq == Seq("dataset", "h_index", "m", "n"))
+    val a2 = t2.where(col("dataset") === "dsA").head()
+    assert(a2.getAs[Double]("m") == 7.0 && a2.isNullAt(a2.fieldIndex("h_index")))
+
+    // re-saving a dataset REPLACES its row (upsert, not append)
+    graft.Pipeline.upsertStatsWide(io, "stats", "dsA", longStats("m" -> 9.0, "n" -> 4.0))
+    val t3 = io.read("stats")
+    assert(t3.count() == 2)
+    assert(t3.where(col("dataset") === "dsA").head().getAs[Double]("m") == 9.0)
+    assert(t3.where(col("dataset") === "dsB").head().getAs[Double]("m") == 1.0)
+    assert(io.latest("stats").get.id == 2) // one snapshot per upsert
+  }
 }
