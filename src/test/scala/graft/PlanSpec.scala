@@ -113,6 +113,19 @@ class PlanSpec extends AnyFunSuite {
       plan.take(600))
   }
 
+  test("seeded IVF: corpus joins probed lists as a hash equi-join, assignment is map-only") {
+    val embs = Seq.tabulate(40)(i => (i.toLong, Array.fill(8)((i % 5).toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    val df = graft.ops.Similarity.ivfSeededTopK(
+      embs, "vec_id", "embedding", $"vec_id" < 3, nCentroids = 4, nProbe = 2, k = 3)
+    val plan = planOf(df)
+    // probes x corpus must be the list_id hash join; the only nested-loop
+    // join allowed is the ONE-ROW broadcast of the centroid array
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("multi-probe ANN joins probe==bucket as a hash join, never cartesian") {
     val embs = Seq.tabulate(40)(i => (i.toLong, Array.fill(8)((i % 5).toFloat + 1f)))
       .toDF("vec_id", "embedding")

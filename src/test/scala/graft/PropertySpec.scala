@@ -117,4 +117,49 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // random doc corpora with planted duplicate clusters: a few word pools
+  // produce identical and near-identical docs across ids
+  val corpusGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(4, 30)
+    docs <- Gen.listOfN(n, for {
+      pool <- Gen.choose(0, 3)
+      len <- Gen.choose(3, 7)
+      words <- Gen.listOfN(len, Gen.choose(0, 5).map(w => s"w${pool}_$w"))
+    } yield words.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private def closure(pairs: Set[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("LSH collapse invariant: collapsed candidates ⊆ uncollapsed, same closure (minhash + simhash)") {
+    import graft.ops.{Dedup, TextOps}
+    forAllSeeded(corpusGen, n = 6) { ds =>
+      val docs = ds.toDF("doc_id", "text").cache()
+
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3)
+      def pairsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val mhC = pairsOf(Dedup.minhashLshCandidates(sigs, 2))
+      val mhU = pairsOf(Dedup.minhashLshCandidates(sigs, 2, collapse = false))
+      assert(mhC.subsetOf(mhU))
+      assert(closure(mhC) == closure(mhU))
+
+      val shC = pairsOf(Dedup.simhashPairs(docs, "doc_id", "text", 3))
+      val shU = pairsOf(Dedup.simhashPairs(docs, "doc_id", "text", 3, collapse = false))
+      assert(shC.subsetOf(shU))
+      assert(closure(shC) == closure(shU))
+      docs.unpersist(false)
+    }
+  }
 }
