@@ -206,19 +206,25 @@ object Similarity {
     val e = embs.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
     val centsRow = e.orderBy("id").limit(nCentroids)
       .agg(collect_list(struct(col("id").as("cid"), col("v").as("cv"))).as("cents"))
-    // (round(d2,6), cid) per centroid, for one vector column `vc`
-    def centDist(vc: Column): Column = transform(col("cents"), c =>
+    // (round(d2,6), cid) per centroid; v·v is hoisted to a per-row column
+    // (`vvCol`) so the k-way centroid loop does one dot product per
+    // centroid, not three — float-identical to the inline form, and the
+    // SQL twin's list_dot_product(v, v) produces the same value either way
+    def centDist(vc: Column, vvCol: Column): Column = transform(col("cents"), c =>
       struct(
-        round(dot(vc, vc) - lit(2.0) * dot(vc, c.getField("cv"))
+        round(vvCol - lit(2.0) * dot(vc, c.getField("cv"))
           + dot(c.getField("cv"), c.getField("cv")), 6).as("d2"),
         c.getField("cid").as("cid")))
-    val corpus = e.crossJoin(broadcast(centsRow))
-      .withColumn("list_id", array_min(centDist(col("v"))).getField("cid"))
+    val corpus = e.withColumn("vv", dot(col("v"), col("v")))
+      .crossJoin(broadcast(centsRow))
+      .withColumn("list_id", array_min(centDist(col("v"), col("vv"))).getField("cid"))
       .select(col("id"), col("v"), col("list_id"))
     val probes = embs.where(queryPred)
       .select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
+      .withColumn("vv", dot(col("qv"), col("qv")))
       .crossJoin(broadcast(centsRow))
-      .withColumn("probe", explode(slice(array_sort(centDist(col("qv"))), 1, nProbe)))
+      .withColumn("probe",
+        explode(slice(array_sort(centDist(col("qv"), col("vv"))), 1, nProbe)))
       .select(col("query_id"), col("qv"), col("probe.cid").as("list_id"))
     // each corpus vector lives in exactly one list, so a (query, candidate)
     // pair joins through at most one probe — no dedup needed
