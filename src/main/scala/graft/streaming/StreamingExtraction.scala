@@ -36,23 +36,28 @@ object StreamingExtraction {
         val spark = batch.sparkSession
         val t0 = System.nanoTime()
         val (_, edges) = Pipeline.build(batch, partitions)
-        val out = edges.withColumn("batch_id", lit(batchId))
-        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try out.write.mode("overwrite").partitionBy("batch_id").parquet(s"$root/edges")
-        finally prev match {
-          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
+        // per-write option (not a session conf mutation, which would race
+        // between concurrent streams sharing the session): overwrite ONLY
+        // this batch's partition, so a checkpoint-replayed batch lands
+        // idempotently
+        edges.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$root/edges")
         // count from the written files, pruned to this batch's partition —
         // no recompute of the extraction plan
         val rows = spark.read.parquet(s"$root/edges")
           .where(col("batch_id") === batchId).count()
         val wallMs = (System.nanoTime() - t0) / 1000000
         import spark.implicits._
+        // lineage keyed (and partitioned) by batch id with the same dynamic
+        // overwrite: a replayed batch REPLACES its lineage row instead of
+        // appending a duplicate — counts stay exact across recoveries
         Seq(graft.io.Lineage("stream_extract", batchId.toInt, s"batch-$batchId",
           rows, wallMs))
-          .toDF().write.mode("append").parquet(s"$root/lineage")
+          .toDF().write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("partition_id").parquet(s"$root/lineage")
         ()
       }
       .start()

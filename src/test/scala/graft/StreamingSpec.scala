@@ -104,6 +104,24 @@ class StreamingSpec extends AnyFunSuite {
       assert(lin.map(_.getAs[Int]("partition_id")).toSeq == Seq(0, 1))
       assert(lin.map(_.getAs[Long]("row_count")).sum == streamed.size)
       assert(lin.forall(_.getAs[String]("stage") == "stream_extract"))
+      q.stop()
+
+      // replay idempotency: a fresh checkpoint re-delivers the same batches
+      // (the crash-recovery shape) — edges AND lineage must end up
+      // identical, not duplicated
+      val input2 = MemoryStream[Turn]
+      val q2 = StreamingExtraction.run(input2.toDS().toDF(), root,
+        s"$root/_ckpt2", partitions = 4)
+      try {
+        input2.addData(b1)
+        q2.processAllAvailable()
+        input2.addData(b2)
+        q2.processAllAvailable()
+        val replayed = spark.read.parquet(s"$root/edges").drop("batch_id")
+          .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+        assert(replayed == batch)
+        assert(spark.read.parquet(s"$root/lineage").count() == 2)
+      } finally q2.stop()
     } finally q.stop()
   }
 }
