@@ -44,20 +44,28 @@ object StreamingExtraction {
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(s"$root/edges")
-        // count from the written files, pruned to this batch's partition —
-        // no recompute of the extraction plan
-        val rows = spark.read.parquet(s"$root/edges")
-          .where(col("batch_id") === batchId).count()
+        // PER-PARTITION lineage from the written files (north rule: partition
+        // id, input snapshot, row count, wall time), pruned to this batch's
+        // partition — no recompute of the extraction plan. Keyed (and
+        // partitioned) by batch id with the same dynamic overwrite: a
+        // replayed batch REPLACES its lineage rows instead of appending
+        // duplicates — counts stay exact across recoveries.
+        val written = spark.read.parquet(s"$root/edges")
+          .where(col("batch_id") === batchId)
         val wallMs = (System.nanoTime() - t0) / 1000000
-        import spark.implicits._
-        // lineage keyed (and partitioned) by batch id with the same dynamic
-        // overwrite: a replayed batch REPLACES its lineage row instead of
-        // appending a duplicate — counts stay exact across recoveries
-        Seq(graft.io.Lineage("stream_extract", batchId.toInt, s"batch-$batchId",
-          rows, wallMs))
-          .toDF().write.mode("overwrite")
+        written
+          .groupBy(input_file_name().as("file"))
+          .agg(count(lit(1)).as("row_count"))
+          .select(
+            lit("stream_extract").as("stage"),
+            regexp_extract(col("file"), "part-(\\d+)", 1).cast("int").as("partition_id"),
+            lit(s"batch-$batchId").as("input_snapshot"),
+            col("row_count"),
+            lit(wallMs).as("wall_ms"),
+            lit(batchId).as("batch_id"))
+          .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("partition_id").parquet(s"$root/lineage")
+          .partitionBy("batch_id").parquet(s"$root/lineage")
         ()
       }
       .start()

@@ -98,12 +98,15 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(_.toSeq.mkString("|")).sorted.toSeq
       assert(streamed == batch)
 
-      // one lineage row per micro-batch, counts match the written partitions
-      val lin = spark.read.parquet(s"$root/lineage")
-        .orderBy("partition_id").collect()
-      assert(lin.map(_.getAs[Int]("partition_id")).toSeq == Seq(0, 1))
+      // per-partition lineage rows per micro-batch: row counts reconcile
+      // with the written data, every batch is covered
+      val lin = spark.read.parquet(s"$root/lineage").collect()
+      assert(lin.map(_.getAs[Int]("batch_id")).toSet == Set(0, 1))
       assert(lin.map(_.getAs[Long]("row_count")).sum == streamed.size)
       assert(lin.forall(_.getAs[String]("stage") == "stream_extract"))
+      assert(lin.map(_.getAs[String]("input_snapshot")).toSet ==
+        Set("batch-0", "batch-1"))
+      val linCount = lin.length
       q.stop()
 
       // replay idempotency: a fresh checkpoint re-delivers the same batches
@@ -120,7 +123,9 @@ class StreamingSpec extends AnyFunSuite {
         val replayed = spark.read.parquet(s"$root/edges").drop("batch_id")
           .collect().map(_.toSeq.mkString("|")).sorted.toSeq
         assert(replayed == batch)
-        assert(spark.read.parquet(s"$root/lineage").count() == 2)
+        val lin2 = spark.read.parquet(s"$root/lineage").collect()
+        assert(lin2.length == linCount) // replaced, not duplicated
+        assert(lin2.map(_.getAs[Long]("row_count")).sum == streamed.size)
       } finally q2.stop()
     } finally q.stop()
   }
