@@ -84,6 +84,23 @@ class CanonSpec extends AnyFunSuite {
     assert(mapping.values.toSet.size == 1)
   }
 
+  test("signature-identical surfaces with distinct norms: collapse keeps canonicalize O(g)") {
+    // surfaces "abab...", k repeats of "ab": every one has the SAME char
+    // 3-shingle set {aba, bab} and therefore the same MinHash signature,
+    // but DISTINCT normalized forms — exactNormEdges cannot collapse them,
+    // so before the r3 representative collapse the banded self-join put
+    // g^2/2 candidate pairs (~125k here, 10^10+ at web scale) on one key.
+    // All pairs verify at Jaccard 1.0 (identical sets), so the cluster must
+    // still merge to ONE canonical form.
+    val g = 500
+    val surfaces = (2 to g + 1).map(k => "ab" * k).toDF("surface")
+    val mapping = Canonicalizer.canonicalize(surfaces).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mapping.size == g)
+    assert(mapping.values.toSet.size == 1) // one cluster
+    assert(mapping.values.head == "ab" * 2) // canonical = lexicographic min (shortest)
+  }
+
   test("applyTo rewrites triples through the canonical map") {
     val triples = Seq(
       ("c1", 0, "Ada Lovelace", "p", "Zürich"),
