@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.ExtractQueries.queries ++
       graft.queries.DocQueries.queries ++
       graft.queries.MoreQueries.queries ++
-      graft.queries.GraphQueries2.queries
+      graft.queries.GraphQueries2.queries ++
+      graft.queries.CurationQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -27,5 +28,6 @@ object SparkEntry {
       graft.queries.ExtractQueries.oracleSql ++
       graft.queries.DocQueries.oracleSql ++
       graft.queries.MoreQueries.oracleSql ++
-      graft.queries.GraphQueries2.oracleSql
+      graft.queries.GraphQueries2.oracleSql ++
+      graft.queries.CurationQueries.oracleSql
 }

@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Curation, TextOps}
+import QueryUtil.roundDoubles
+
+/** Driver-checked queries for the corpus-curation operators (PII scrub,
+  * Gopher-style repetition signals, benchmark contamination, stratified
+  * sampling) over the documents table. Each has an exact DuckDB twin; the
+  * PII query derives its input by injecting deterministic PII spans into
+  * the (PII-free) synthetic corpus — the injection is part of the query on
+  * BOTH sides, so the parity check exercises real matches, not just the
+  * all-zero case.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Per-source sampling rates for doc_stratified_sample — shared verbatim
+    * with the SQL twin (rates chosen to exercise override + default).
+    */
+  val StratRates: Map[String, Double] =
+    Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.1)
+  val StratDefault: Double = 0.25
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_pii" -> ((s, dir) => {
+      // deterministic PII injection (the corpus itself is synthetic and
+      // PII-free): ~1/7 of docs get an email, ~1/11 an IPv4, ~1/13 a phone
+      val injected = docs(s, dir).select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".25 logged"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit(" call 555-867-5309 soon")).otherwise(lit("")))
+        .as("text"))
+      val p = Curation.piiSignals(injected, "doc_id", "text")
+      p.agg(
+        count(when(col("n_emails") + col("n_ips") + col("n_phones") > 0, 1))
+          .cast("bigint").as("docs_with_pii"),
+        sum("n_emails").cast("bigint").as("total_emails"),
+        sum("n_ips").cast("bigint").as("total_ips"),
+        sum("n_phones").cast("bigint").as("total_phones"),
+        sum(TextOps.portableHash64(col("redacted")) % 1000003L)
+          .cast("bigint").as("redacted_checksum"),
+        sum(octet_length(col("redacted"))).cast("bigint").as("redacted_bytes"))
+    }),
+
+    "doc_repetition" -> ((s, dir) => {
+      // map-only signal pass over a single-partition local file: spread it
+      // (at production scale the input is already many-partitioned)
+      val r = Curation.repetitionSignals(
+        docs(s, dir).repartition(32), "doc_id", "text")
+      roundDoubles(r.agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        count(when(col("gopher_pass"), 1)).cast("bigint").as("n_pass"),
+        round(avg("frac_dup_ngrams"), 6).as("avg_dup_frac"),
+        round(avg("mean_word_len"), 6).as("avg_word_len"),
+        round(avg("frac_alpha_words"), 6).as("avg_alpha_frac"),
+        max("top_ngram_count").cast("bigint").as("max_top_ngram"),
+        sum("distinct_ngrams").cast("bigint").as("distinct_ngram_sum")))
+    }),
+
+    "doc_contamination" -> ((s, dir) => {
+      // benchmark = every 20th doc (a stand-in eval suite); corpus = the
+      // rest. 5-gram overlap fraction per corpus doc.
+      val d = docs(s, dir)
+      val bench = d.where(col("doc_id") % 20 === 0)
+      val corpus = d.where(col("doc_id") % 20 =!= 0)
+      val c = Curation.ngramContamination(
+        corpus.repartition(32), bench, "doc_id", "text", n = 5)
+      roundDoubles(c.agg(
+        count(lit(1)).cast("bigint").as("n_corpus_docs"),
+        count(when(col("contaminated_ngrams") > 0, 1))
+          .cast("bigint").as("contaminated_docs"),
+        count(when(col("contamination_frac") >= 0.5, 1))
+          .cast("bigint").as("heavy_docs"),
+        round(avg("contamination_frac"), 6).as("avg_contamination"),
+        sum("contaminated_ngrams").cast("bigint").as("contaminated_sum")))
+    }),
+
+    "doc_stratified_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val kept = Curation.stratifiedSample(
+        d, "doc_id", "source", StratRates, StratDefault)
+        .groupBy("source")
+        .agg(count(lit(1)).as("k"), sum("doc_id").as("kc"))
+      d.groupBy("source").agg(count(lit(1)).as("total"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("total").cast("bigint").as("total"),
+          coalesce(col("k"), lit(0L)).cast("bigint").as("kept"),
+          coalesce(col("kc"), lit(0L)).cast("bigint").as("kept_checksum"))
+        .orderBy("source")
+    }))
+
+  private val h64 = (e: String) => s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  val oracleSql: Map[String, String] = Map(
+    "doc_pii" ->
+      s"""WITH injected AS (
+         |  SELECT doc_id,
+         |         text
+         |         || CASE WHEN doc_id % 7 = 0
+         |                 THEN ' contact user' || doc_id || '@example.com now'
+         |                 ELSE '' END
+         |         || CASE WHEN doc_id % 11 = 0
+         |                 THEN ' from 10.0.' || (doc_id % 256) || '.25 logged'
+         |                 ELSE '' END
+         |         || CASE WHEN doc_id % 13 = 0
+         |                 THEN ' call 555-867-5309 soon'
+         |                 ELSE '' END AS text
+         |  FROM documents),
+         |pii AS (
+         |  SELECT doc_id,
+         |         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+         |         len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ips,
+         |         len(regexp_extract_all(text, '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b')) AS n_phones,
+         |         regexp_replace(
+         |           regexp_replace(
+         |             regexp_replace(text,
+         |               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+         |           '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>', 'g') AS redacted
+         |  FROM injected)
+         |SELECT CAST(count(*) FILTER (WHERE n_emails + n_ips + n_phones > 0) AS BIGINT) AS docs_with_pii,
+         |       CAST(sum(n_emails) AS BIGINT) AS total_emails,
+         |       CAST(sum(n_ips) AS BIGINT) AS total_ips,
+         |       CAST(sum(n_phones) AS BIGINT) AS total_phones,
+         |       CAST(sum(${h64("redacted")} % 1000003) AS BIGINT) AS redacted_checksum,
+         |       CAST(sum(strlen(redacted)) AS BIGINT) AS redacted_bytes
+         |FROM pii""".stripMargin,
+
+    "doc_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(l) AS n_tokens,
+        |         CAST(list_sum(list_transform(l, t -> length(t))) AS DOUBLE) / len(l) AS mwl,
+        |         CAST(len(list_filter(l, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(l) AS fa
+        |  FROM toks),
+        |g2 AS (
+        |  SELECT doc_id, array_to_string(l[i:i+1], ' ') AS gram
+        |  FROM toks, LATERAL unnest(generate_series(1, greatest(len(l) - 1, 0))) g(i)),
+        |gc AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |gs AS (SELECT doc_id, sum(c) AS total, count(*) AS dist, max(c) AS top
+        |       FROM gc GROUP BY 1),
+        |j AS (
+        |  SELECT b.doc_id, b.n_tokens, b.mwl, b.fa,
+        |         coalesce(gs.total, 0) AS total,
+        |         coalesce(gs.dist, 0) AS dist,
+        |         coalesce(gs.top, 0) AS top,
+        |         CASE WHEN coalesce(gs.total, 0) > 0
+        |              THEN 1.0 - CAST(gs.dist AS DOUBLE) / gs.total ELSE 0.0 END AS fdup
+        |  FROM base b LEFT JOIN gs USING (doc_id))
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(*) FILTER (WHERE n_tokens BETWEEN 50 AND 100000
+        |                               AND mwl >= 3.0 AND mwl <= 10.0
+        |                               AND fa >= 0.8 AND fdup <= 0.2) AS BIGINT) AS n_pass,
+        |       CAST(round(avg(fdup), 6) AS DOUBLE) AS avg_dup_frac,
+        |       CAST(round(avg(mwl), 6) AS DOUBLE) AS avg_word_len,
+        |       CAST(round(avg(fa), 6) AS DOUBLE) AS avg_alpha_frac,
+        |       CAST(max(top) AS BIGINT) AS max_top_ngram,
+        |       CAST(sum(dist) AS BIGINT) AS distinct_ngram_sum
+        |FROM j""".stripMargin,
+
+    "doc_contamination" ->
+      s"""WITH g5 AS (
+         |  SELECT doc_id, ${h64("array_to_string(l[i:i+4], ' ')")} AS h
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t,
+         |       LATERAL unnest(generate_series(1, greatest(len(l) - 4, 0))) g(i)),
+         |gd AS (SELECT DISTINCT doc_id, h FROM g5),
+         |bench AS (SELECT DISTINCT h FROM gd WHERE doc_id % 20 = 0),
+         |corp AS (SELECT doc_id, h FROM gd WHERE doc_id % 20 <> 0),
+         |tot AS (SELECT doc_id, count(*) AS total FROM corp GROUP BY 1),
+         |cont AS (SELECT c.doc_id, count(*) AS cont
+         |         FROM corp c JOIN bench b USING (h) GROUP BY 1),
+         |j AS (
+         |  SELECT d.doc_id,
+         |         coalesce(tot.total, 0) AS total,
+         |         coalesce(cont.cont, 0) AS cont,
+         |         CASE WHEN coalesce(tot.total, 0) > 0
+         |              THEN CAST(coalesce(cont.cont, 0) AS DOUBLE) / tot.total
+         |              ELSE 0.0 END AS frac
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+         |  LEFT JOIN tot USING (doc_id) LEFT JOIN cont USING (doc_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_corpus_docs,
+         |       CAST(count(*) FILTER (WHERE cont > 0) AS BIGINT) AS contaminated_docs,
+         |       CAST(count(*) FILTER (WHERE frac >= 0.5) AS BIGINT) AS heavy_docs,
+         |       CAST(round(avg(frac), 6) AS DOUBLE) AS avg_contamination,
+         |       CAST(sum(cont) AS BIGINT) AS contaminated_sum
+         |FROM j""".stripMargin,
+
+    "doc_stratified_sample" -> {
+      val rateCase = StratRates.toSeq.sortBy(_._1).map { case (s, r) =>
+        s"WHEN source = '$s' THEN ${(r * 1000000L).toLong}"
+      }.mkString(" ")
+      s"""WITH kept AS (
+         |  SELECT source, doc_id FROM documents
+         |  WHERE ((${h64("'strat:' || source || ':' || doc_id")} & 2147483647) % 1000000)
+         |        < (CASE $rateCase ELSE ${(StratDefault * 1000000L).toLong} END)),
+         |k AS (SELECT source, count(*) AS k, sum(doc_id) AS kc FROM kept GROUP BY 1)
+         |SELECT d.source,
+         |       CAST(count(*) AS BIGINT) AS total,
+         |       CAST(coalesce(any_value(k.k), 0) AS BIGINT) AS kept,
+         |       CAST(coalesce(any_value(k.kc), 0) AS BIGINT) AS kept_checksum
+         |FROM documents d LEFT JOIN k ON k.source = d.source
+         |GROUP BY d.source
+         |ORDER BY d.source""".stripMargin
+    })
+}

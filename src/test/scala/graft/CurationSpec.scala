@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Curation
+
+class CurationSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("piiSignals counts and redacts emails, IPv4s, phones") {
+    val docs = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org or x@y.io thanks"),
+      (2L, "server 192.168.0.12 and 10.0.0.1 up"),
+      (3L, "call 555-867-5309 or 555.123.4567"),
+      (4L, "no pii here at all"),
+      (5L, "mix u@v.com 1.2.3.4 999-111-2222 end")).toDF("doc_id", "text")
+    val r = Curation.piiSignals(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(1), x.getInt(2), x.getInt(3), x.getString(4))).toMap
+    assert(r(1L)._1 == 2 && r(1L)._2 == 0 && r(1L)._3 == 0)
+    assert(r(1L)._4 == "mail me at <EMAIL> or <EMAIL> thanks")
+    assert(r(2L)._2 == 2 && r(2L)._4 == "server <IP> and <IP> up")
+    assert(r(3L)._3 == 2 && r(3L)._4 == "call <PHONE> or <PHONE>")
+    assert(r(4L) == (0, 0, 0, "no pii here at all"))
+    assert(r(5L) == (1, 1, 1, "mix <EMAIL> <IP> <PHONE> end"))
+  }
+
+  test("repetitionSignals: hand-computed n-gram stats and gate") {
+    val docs = Seq(
+      (1L, "a b a b"), // 2-grams: "a b","b a","a b" -> total 3, dist 2, top 2
+      (2L, "x"), // no 2-grams
+      (3L, (1 to 60).map(i => s"tok$i").mkString(" ")) // 60 distinct tokens
+    ).toDF("doc_id", "text")
+    val r = Curation.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    val d1 = r(1L)
+    assert(d1.getAs[Long]("total_ngrams") == 3 &&
+      d1.getAs[Long]("distinct_ngrams") == 2 &&
+      d1.getAs[Long]("top_ngram_count") == 2)
+    assert(math.abs(d1.getAs[Double]("frac_dup_ngrams") - 1.0 / 3) < 1e-12)
+    assert(math.abs(d1.getAs[Double]("top_ngram_frac") - 2.0 / 3) < 1e-12)
+    assert(!d1.getAs[Boolean]("gopher_pass")) // 4 tokens < minTokens
+    val d2 = r(2L)
+    assert(d2.getAs[Long]("total_ngrams") == 0 &&
+      d2.getAs[Double]("frac_dup_ngrams") == 0.0 &&
+      !d2.getAs[Boolean]("gopher_pass"))
+    val d3 = r(3L)
+    assert(d3.getAs[Long]("n_tokens") == 60 &&
+      d3.getAs[Double]("frac_dup_ngrams") == 0.0 &&
+      d3.getAs[Double]("frac_alpha_words") == 1.0 &&
+      d3.getAs[Boolean]("gopher_pass")) // mean len ~4.4, all-distinct grams
+  }
+
+  test("ngramContamination: identical doc fully contaminated, disjoint doc zero") {
+    val corpus = Seq(
+      (1L, "one two three four five six"), // == bench doc
+      (2L, "alpha beta gamma delta epsilon zeta"), // disjoint
+      (3L, "zero one two three four five six seven"), // partial overlap
+      (4L, "tiny")).toDF("doc_id", "text") // < n tokens
+    val bench = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
+    val r = Curation.ngramContamination(corpus, bench, "doc_id", "text", n = 5)
+      .collect().map(x => x.getLong(0) ->
+        (x.getAs[Long]("total_ngrams"), x.getAs[Long]("contaminated_ngrams"),
+          x.getAs[Double]("contamination_frac"))).toMap
+    assert(r(1L) == ((2L, 2L, 1.0)))
+    assert(r(2L) == ((2L, 0L, 0.0)))
+    // doc 3 grams: "zero one two three four","one two three four five",
+    // "two three four five six","three four five six seven" -> 2 of 4 in bench
+    assert(r(3L) == ((4L, 2L, 0.5)))
+    assert(r(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("stratifiedSample: deterministic, monotone in rate, respects strata rates") {
+    val docs = (0L until 4000L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "stratum")
+    val rates = Map("s0" -> 0.9, "s1" -> 0.1)
+    val kept = Curation.stratifiedSample(docs, "doc_id", "stratum", rates, 0.5)
+    val again = Curation.stratifiedSample(docs, "doc_id", "stratum", rates, 0.5)
+    val k1 = kept.collect().map(_.getLong(0)).toSet
+    assert(k1 == again.collect().map(_.getLong(0)).toSet) // deterministic
+    val bySt = kept.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(bySt("s0") / 1000.0 - 0.9) < 0.06)
+    assert(math.abs(bySt.getOrElse("s1", 0L) / 1000.0 - 0.1) < 0.06)
+    assert(math.abs(bySt("s2") / 1000.0 - 0.5) < 0.06) // default rate
+    // monotone: raising every rate keeps a superset (nested samples)
+    val wider = Curation.stratifiedSample(
+      docs, "doc_id", "stratum", rates.map { case (k, v) => k -> math.min(1.0, v + 0.05) }, 0.55)
+      .collect().map(_.getLong(0)).toSet
+    assert(k1.subsetOf(wider))
+  }
+}
