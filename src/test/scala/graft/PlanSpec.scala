@@ -170,4 +170,26 @@ class PlanSpec extends AnyFunSuite {
       assert(jobs.get() == 0, s"plan construction ran ${jobs.get()} Spark job(s)")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("contamination probes the benchmark gram set via a broadcast semi-join") {
+    // the corpus side must never reshuffle on gram: the benchmark (an eval
+    // suite) is broadcast-small next to a 100-TB corpus by construction
+    val corpus = Seq.tabulate(30)(i => (i.toLong, s"a b c d e f g tail$i"))
+      .toDF("doc_id", "text")
+    val bench = Seq((99L, "a b c d e f")).toDF("doc_id", "text")
+    val plan = planOf(graft.ops.Curation.ngramContamination(
+      corpus, bench, "doc_id", "text", n = 5))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(800))
+  }
+
+  test("pii scrub and stratified sampling are map-only (no shuffle)") {
+    val docs = Seq.tabulate(30)(i => (i.toLong, s"text $i u@v.com", s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val pii = planOf(graft.ops.Curation.piiSignals(docs, "doc_id", "text"))
+    assert(!pii.contains("Exchange"), pii.take(500))
+    val strat = planOf(graft.ops.Curation.stratifiedSample(
+      docs, "doc_id", "source", Map("s0" -> 0.9), 0.5))
+    assert(!strat.contains("Exchange"), strat.take(500))
+  }
 }
