@@ -7,6 +7,15 @@ import org.apache.spark.sql.functions._
   * Jaccard, MinHash+LSH, SimHash, embedding-cosine. All are shuffle-bounded
   * by blocking (a pair is only materialized when a block key collides), the
   * standard web-scale shape — never an unblocked cross join.
+  *
+  * Deliberately NO internal persist() of multi-branch intermediates (the
+  * shingle table, banded signatures): Spark's ReusedExchange already
+  * dedupes the identical shuffle subtrees these plans share, and an A/B
+  * measurement showed lazy MEMORY_AND_DISK marks made the dedup suite
+  * 2-4x SLOWER (columnar encode + extra stage boundaries + broken codegen
+  * fusion outweigh the avoided recomputation). A caller fanning one
+  * signature table into many downstream jobs should materialize it
+  * explicitly (TableIO/parquet) instead.
   */
 object Dedup {
 
