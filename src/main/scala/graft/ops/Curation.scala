@@ -134,6 +134,98 @@ object Curation {
         lit(0.0)))
   }
 
+  /** Concat-and-chunk sequence packing (the GPT-style pretraining layout):
+    * documents are concatenated in `orderCol` order (ties broken by
+    * `idCol`) within each `strataCol` group and the resulting token stream
+    * is cut into fixed `windowTokens` chunks. Returns the input plus
+    * per-document placement: `start_token`/`end_token` (exclusive) offsets
+    * into the stream, `first_chunk`/`last_chunk` indices, and
+    * `spans_boundary` (the document crosses a chunk cut — the rows a
+    * masking-aware loader treats specially). Zero-token documents place at
+    * their offset with `last_chunk = first_chunk`.
+    *
+    * Shape: one running-sum window per stratum — parallel across strata,
+    * sequential within one. Fine when strata are many (sources, shards);
+    * for ONE giant stream use [[packChunksGlobal]], which replaces the
+    * single-partition window with a range-partitioned two-pass prefix sum.
+    */
+  def packChunks(docs: DataFrame, idCol: String, tokensCol: String,
+                 orderCol: String, windowTokens: Long,
+                 strataCol: String): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col(orderCol), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // `div` = integral division: token offsets at corpus scale exceed the
+    // exact-double range, so floor(x / w) would misplace chunks
+    docs.withColumn("end_token", sum(col(tokensCol).cast("long")).over(w))
+      .withColumn("start_token", col("end_token") - col(tokensCol))
+      .withColumn("first_chunk", expr(s"start_token div ${windowTokens}L"))
+      .withColumn("last_chunk",
+        when(col(tokensCol) > 0, expr(s"(end_token - 1L) div ${windowTokens}L"))
+          .otherwise(col("first_chunk")))
+      .withColumn("spans_boundary", col("last_chunk") > col("first_chunk"))
+  }
+
+  private[ops] case class PackOffset(id: Long, ord: Long, toks: Long, start_token: Long)
+
+  /** Global-stream variant of [[packChunks]]: ONE concatenation order over
+    * the whole corpus, no single-partition window. The classic distributed
+    * prefix sum:
+    *
+    *   1. range-repartition by (order, id) and sort within partitions —
+    *      the only full-data shuffle;
+    *   2. per-partition token totals, map-side combined to ONE ROW PER
+    *      PARTITION, prefix-summed on the driver (O(partitions) rows —
+    *      bounded and tiny, like the matcher's template bindings);
+    *   3. a map-only pass adds each partition's base offset to its local
+    *      running sum (`mapPartitions` — the sanctioned per-partition
+    *      imperative case: an iterator-order-dependent accumulator).
+    *
+    * The projected (id, ord, toks) table is persisted because step 2 is a
+    * separate ACTION from the result scan — cross-action reuse, not the
+    * multi-branch single-action caching the Dedup scaladoc warns against.
+    * `idCol`/`orderCol`/`tokensCol` must be numeric (cast to long).
+    */
+  def packChunksGlobal(docs: DataFrame, idCol: String, tokensCol: String,
+                       orderCol: String, windowTokens: Long,
+                       numPartitions: Int = 32): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    require(numPartitions > 0, "numPartitions must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.select(col(idCol).cast("long").as("id"),
+        col(orderCol).cast("long").as("ord"),
+        col(tokensCol).cast("long").as("toks"))
+      .repartitionByRange(numPartitions, col("ord"), col("id"))
+      .sortWithinPartitions("ord", "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = d.groupBy(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .agg(sum("toks").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until numPartitions)
+      .scanLeft(0L)((acc, pid) => acc + totals.getOrElse(pid, 0L)).toArray
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val placed = d.as[(Long, Long, Long)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = bcOff.value(pid)
+      it.map { case (id, ord, toks) =>
+        val start = acc; acc += toks
+        PackOffset(id, ord, toks, start)
+      }
+    }.toDF()
+    placed
+      .withColumn("end_token", col("start_token") + col("toks"))
+      .withColumn("first_chunk", expr(s"start_token div ${windowTokens}L"))
+      .withColumn("last_chunk",
+        when(col("toks") > 0, expr(s"(end_token - 1L) div ${windowTokens}L"))
+          .otherwise(col("first_chunk")))
+      .withColumn("spans_boundary", col("last_chunk") > col("first_chunk"))
+      .select(col("id"), col("ord"), col("toks"), col("start_token"),
+        col("end_token"), col("first_chunk"), col("last_chunk"), col("spans_boundary"))
+  }
+
   /** Deterministic per-stratum sampling (domain mixing): keep a row iff
     * portableHash31(salt:stratum:id) mod 10^6 < rate(stratum) * 10^6, with
     * `rates` overriding `defaultRate` per stratum value. Map-only — the

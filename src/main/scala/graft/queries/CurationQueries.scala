@@ -86,6 +86,23 @@ object CurationQueries {
         sum("contaminated_ngrams").cast("bigint").as("contaminated_sum")))
     }),
 
+    "doc_pack" -> ((s, dir) => {
+      // GPT-style concat-and-chunk packing of the whole corpus into
+      // 512-token windows via the distributed two-pass prefix sum (the
+      // scalable path — no single-partition window)
+      val d = docs(s, dir)
+        .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
+      val p = Curation.packChunksGlobal(d, "doc_id", "n_tokens", "doc_id",
+        windowTokens = 512)
+      p.agg(
+        max("end_token").cast("bigint").as("total_tokens"),
+        count(when(col("spans_boundary"), 1)).cast("bigint").as("spanning_docs"),
+        max("last_chunk").cast("bigint").as("max_chunk"),
+        sum(col("first_chunk") * 31 + col("last_chunk"))
+          .cast("bigint").as("chunk_checksum"),
+        sum("start_token").cast("bigint").as("offset_checksum"))
+    }),
+
     "doc_stratified_sample" -> ((s, dir) => {
       val d = docs(s, dir)
       val kept = Curation.stratifiedSample(
@@ -195,6 +212,25 @@ object CurationQueries {
          |       CAST(round(avg(frac), 6) AS DOUBLE) AS avg_contamination,
          |       CAST(sum(cont) AS BIGINT) AS contaminated_sum
          |FROM j""".stripMargin,
+
+    "doc_pack" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        |p AS (SELECT doc_id, n,
+        |        sum(n) OVER (ORDER BY doc_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_token
+        |      FROM t),
+        |q AS (SELECT doc_id, n, end_token,
+        |        end_token - n AS start_token,
+        |        (end_token - n) // 512 AS first_chunk,
+        |        CASE WHEN n > 0 THEN (end_token - 1) // 512
+        |             ELSE (end_token - n) // 512 END AS last_chunk
+        |      FROM p)
+        |SELECT CAST(max(end_token) AS BIGINT) AS total_tokens,
+        |       CAST(count(*) FILTER (WHERE last_chunk > first_chunk) AS BIGINT) AS spanning_docs,
+        |       CAST(max(last_chunk) AS BIGINT) AS max_chunk,
+        |       CAST(sum(first_chunk * 31 + last_chunk) AS BIGINT) AS chunk_checksum,
+        |       CAST(sum(start_token) AS BIGINT) AS offset_checksum
+        |FROM q""".stripMargin,
 
     "doc_stratified_sample" -> {
       val rateCase = StratRates.toSeq.sortBy(_._1).map { case (s, r) =>

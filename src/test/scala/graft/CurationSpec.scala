@@ -72,6 +72,37 @@ class CurationSpec extends AnyFunSuite {
     assert(r(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("packChunks: hand-computed placement, zero-token docs, strata independence") {
+    val docs = Seq(
+      (1L, 5L, "a"), (2L, 3L, "a"), (3L, 0L, "a"), (4L, 4L, "a"),
+      (10L, 7L, "b")).toDF("doc_id", "n_tokens", "src")
+    val p = Curation.packChunks(docs, "doc_id", "n_tokens", "doc_id", 6L, "src")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("start_token"), r.getAs[Long]("end_token"),
+          r.getAs[Long]("first_chunk"), r.getAs[Long]("last_chunk"),
+          r.getAs[Boolean]("spans_boundary"))).toMap
+    assert(p(1L) == ((0L, 5L, 0L, 0L, false)))
+    assert(p(2L) == ((5L, 8L, 0L, 1L, true))) // crosses the 6-token cut
+    assert(p(3L) == ((8L, 8L, 1L, 1L, false))) // zero tokens: stays at offset
+    assert(p(4L) == ((8L, 12L, 1L, 1L, false)))
+    assert(p(10L) == ((0L, 7L, 0L, 1L, true))) // stratum b packs independently
+  }
+
+  test("packChunksGlobal == single-stratum packChunks across partitions") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 500L).map(i => (i, rnd.nextInt(40).toLong, "all"))
+      .toDF("doc_id", "n_tokens", "src")
+    val expected = Curation.packChunks(docs, "doc_id", "n_tokens", "doc_id", 64L, "src")
+      .select("doc_id", "start_token", "end_token", "first_chunk", "last_chunk", "spans_boundary")
+      .collect().map(r => r.toSeq).toSet
+    val got = Curation.packChunksGlobal(docs, "doc_id", "n_tokens", "doc_id", 64L,
+      numPartitions = 7)
+      .select(col("id").as("doc_id"), col("start_token"), col("end_token"),
+        col("first_chunk"), col("last_chunk"), col("spans_boundary"))
+      .collect().map(r => r.toSeq).toSet
+    assert(got == expected)
+  }
+
   test("stratifiedSample: deterministic, monotone in rate, respects strata rates") {
     val docs = (0L until 4000L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "stratum")
     val rates = Map("s0" -> 0.9, "s1" -> 0.1)
