@@ -79,10 +79,12 @@ object EntityLinker {
     // only the three APPENDED columns can clash; the exploded struct lives
     // in a prefixed temp column so a legitimate input `link` column passes
     // through untouched (ADVICE r2)
-    val clash = Seq("mention", "entity", "score").filter(turns.columns.contains)
+    val tmp = "__graft_link"
+    // tmp is in the clash list because withColumn(tmp, ...) would silently
+    // clobber (and drop) a caller column of that name
+    val clash = Seq("mention", "entity", "score", tmp).filter(turns.columns.contains)
     require(clash.isEmpty,
       s"input already has column(s) ${clash.mkString(", ")} — rename them before link()")
-    val tmp = "__graft_link"
     val toks = split(Extractor.normalizeCol(col(textCol)), " ")
     val perAlias = aliases.map { alias =>
       val best = bestOf(toks, ambiguous(alias))

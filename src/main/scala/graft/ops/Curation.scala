@@ -27,21 +27,23 @@ object Curation {
   /** Per-document PII signals: match counts per category plus the redacted
     * text (emails -> `<EMAIL>`, then IPv4 -> `<IP>`, then phones ->
     * `<PHONE>` — the order is part of the contract since redaction rewrites
-    * the string the next pattern scans). Map-only.
+    * the string the next pattern scans). Each category is COUNTED on the
+    * same string its redaction pass scans (the output of the previous
+    * pass), so counts always reconcile with the placeholders in
+    * `redacted` — a span consumed by an earlier category (an email whose
+    * local part looks like a phone) is counted once, in the category that
+    * redacted it. Map-only.
     */
   def piiSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    def n(pat: String) = size(regexp_extract_all(t, lit(pat), lit(0)))
+    def n(c: Column, pat: String) = size(regexp_extract_all(c, lit(pat), lit(0)))
+    val afterEmail = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Pattern, "<IP>")
     docs.select(
       col(idCol),
-      n(EmailPattern).as("n_emails"),
-      n(Ipv4Pattern).as("n_ips"),
-      n(PhonePattern).as("n_phones"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, EmailPattern, "<EMAIL>"),
-          Ipv4Pattern, "<IP>"),
-        PhonePattern, "<PHONE>").as("redacted"))
+      n(col(textCol), EmailPattern).as("n_emails"),
+      n(afterEmail, Ipv4Pattern).as("n_ips"),
+      n(afterIp, PhonePattern).as("n_phones"),
+      regexp_replace(afterIp, PhonePattern, "<PHONE>").as("redacted"))
   }
 
   /** Gopher-style per-document repetition/quality signals over token
@@ -183,10 +185,15 @@ object Curation {
     *      running sum (`mapPartitions` — the sanctioned per-partition
     *      imperative case: an iterator-order-dependent accumulator).
     *
-    * The projected (id, ord, toks) table is persisted because step 2 is a
-    * separate ACTION from the result scan — cross-action reuse, not the
-    * multi-branch single-action caching the Dedup scaladoc warns against.
-    * `idCol`/`orderCol`/`tokensCol` must be numeric (cast to long).
+    * The projected (id, ord, toks) table is materialized once (eager
+    * `localCheckpoint`) because step 2 is a separate ACTION from the
+    * result scan — cross-action reuse, not the multi-branch single-action
+    * caching the Dedup scaladoc warns against. localCheckpoint rather than
+    * persist: checkpoint blocks are released by the ContextCleaner when
+    * the result goes unreferenced, while a `persist` stays registered in
+    * the CacheManager until an explicit unpersist — one leaked corpus
+    * copy per call. `idCol`/`orderCol`/`tokensCol` must be numeric (cast
+    * to long).
     */
   def packChunksGlobal(docs: DataFrame, idCol: String, tokensCol: String,
                        orderCol: String, windowTokens: Long,
@@ -200,7 +207,7 @@ object Curation {
         col(tokensCol).cast("long").as("toks"))
       .repartitionByRange(numPartitions, col("ord"), col("id"))
       .sortWithinPartitions("ord", "id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val totals = d.groupBy(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
       .agg(sum("toks").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

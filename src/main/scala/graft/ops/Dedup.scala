@@ -166,11 +166,29 @@ object Dedup {
     * is a SUBSET of the uncollapsed one (stars are trivially band
     * collisions) with the SAME transitive closure: any uncollapsed pair
     * (a, b) is bridged as a—rep_a—rep_b—b, because identical signatures
-    * collide on exactly the same bands. Downstream consumers that verify
-    * then merge (Jaccard + connected components, e.g.
-    * [[graft.canon.Canonicalizer.canonicalize]]) therefore see identical
-    * components. `collapse=false` restores the literal all-pairs banding
-    * (test-scale / exhaustive-pair-list use only).
+    * collide on exactly the same bands.
+    *
+    * Verify-then-merge caveat: the closure equality above is a statement
+    * about the CANDIDATE graph. A consumer that verifies candidates with a
+    * metric FINER than signature identity (exact Jaccard, as in
+    * [[graft.canon.Canonicalizer.canonicalize]]) can diverge on one
+    * specific shape: members of an identical-signature group that are NOT
+    * actually near-duplicates (a coincidental all-k-minima collision,
+    * probability ~J^k per pair — 0.45^8 ≈ 2e-3 at the default family)
+    * have their member—member pair replaced by star pairs that verification
+    * may reject where the member pair would have passed. Groups whose
+    * members share identical shingle sets — exact duplicates and the
+    * boilerplate clusters this collapse exists for — are EXACTLY preserved:
+    * their stars have Jaccard 1 and pass any threshold, so verified
+    * components match the uncollapsed ones. Coincidental-collision
+    * clusters of size >2 essentially require identical shingle sets
+    * anyway (every pair must collide independently), which is why the
+    * residual divergence is per-pair rare rather than cluster-scale.
+    * `collapse=false` restores the literal all-pairs banding (test-scale /
+    * exhaustive-pair-list use, or verify-then-merge runs where that
+    * last-decimal recall matters more than the g² dup-cluster guard).
+    * [[simhashPairs]] has no such caveat: its verification metric (Hamming
+    * distance on the simhash) is fully determined by its collapse key.
     */
   def minhashLshCandidates(signatures: DataFrame, rowsPerBand: Int,
                            collapse: Boolean = true): DataFrame = {

@@ -156,7 +156,17 @@ object Similarity {
     require(fitFraction > 0.0 && fitFraction <= 1.0)
     val e = embs.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
       .withColumn("fv", array_to_vector(col("v")))
-    val fitSet = if (fitFraction < 1.0) e.sample(withReplacement = false, fitFraction, seed) else e
+    // Bernoulli sampling has no row-count guarantee: on a small corpus the
+    // sample can hold fewer rows than nCentroids (or zero), which breaks
+    // the KMeans fit / the nProbe <= nCentroids probing contract. The fit
+    // is already an eager action, so the guard count costs one cheap job
+    // over the sample; fall back to the full corpus when undersampled.
+    val fitSet = {
+      val sampled = if (fitFraction < 1.0)
+        e.sample(withReplacement = false, fitFraction, seed) else e
+      if (fitFraction < 1.0 && sampled.limit(nCentroids).count() < nCentroids) e
+      else sampled
+    }
     val model = new KMeans().setK(nCentroids).setSeed(seed)
       .setFeaturesCol("fv").setPredictionCol("list_id").fit(fitSet)
     val corpus = model.transform(e).select(col("id"), col("v"), col("list_id"))

@@ -134,18 +134,24 @@ object CurationQueries {
          |                 THEN ' call 555-867-5309 soon'
          |                 ELSE '' END AS text
          |  FROM documents),
-         |pii AS (
+         |s1 AS (
          |  SELECT doc_id,
          |         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
-         |         len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ips,
-         |         len(regexp_extract_all(text, '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b')) AS n_phones,
-         |         regexp_replace(
-         |           regexp_replace(
-         |             regexp_replace(text,
-         |               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         |             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+         |         regexp_replace(text,
+         |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+         |  FROM injected),
+         |s2 AS (
+         |  SELECT doc_id, n_emails,
+         |         len(regexp_extract_all(t1, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ips,
+         |         regexp_replace(t1,
+         |           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS t2
+         |  FROM s1),
+         |pii AS (
+         |  SELECT doc_id, n_emails, n_ips,
+         |         len(regexp_extract_all(t2, '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b')) AS n_phones,
+         |         regexp_replace(t2,
          |           '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>', 'g') AS redacted
-         |  FROM injected)
+         |  FROM s2)
          |SELECT CAST(count(*) FILTER (WHERE n_emails + n_ips + n_phones > 0) AS BIGINT) AS docs_with_pii,
          |       CAST(sum(n_emails) AS BIGINT) AS total_emails,
          |       CAST(sum(n_ips) AS BIGINT) AS total_ips,

@@ -45,24 +45,40 @@ object StreamingExtraction {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(s"$root/edges")
         // PER-PARTITION lineage from the written files (north rule: partition
-        // id, input snapshot, row count, wall time), pruned to this batch's
-        // partition — no recompute of the extraction plan. Keyed (and
-        // partitioned) by batch id with the same dynamic overwrite: a
-        // replayed batch REPLACES its lineage rows instead of appending
-        // duplicates — counts stay exact across recoveries.
-        val written = spark.read.parquet(s"$root/edges")
-          .where(col("batch_id") === batchId)
+        // id, input snapshot, row count, wall time) — read ONLY this batch's
+        // directory, not the table root: listing the root is O(total batches
+        // ever written) per batch and grows without bound on a long-lived
+        // stream. Keyed (and partitioned) by batch id with the same dynamic
+        // overwrite: a replayed batch REPLACES its lineage rows instead of
+        // appending duplicates — counts stay exact across recoveries.
+        val batchPath = new org.apache.hadoop.fs.Path(s"$root/edges/batch_id=$batchId")
+        val fs = batchPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val wallMs = (System.nanoTime() - t0) / 1000000
-        written
-          .groupBy(input_file_name().as("file"))
-          .agg(count(lit(1)).as("row_count"))
-          .select(
-            lit("stream_extract").as("stage"),
-            regexp_extract(col("file"), "part-(\\d+)", 1).cast("int").as("partition_id"),
-            lit(s"batch-$batchId").as("input_snapshot"),
-            col("row_count"),
-            lit(wallMs).as("wall_ms"),
-            lit(batchId).as("batch_id"))
+        // a batch may extract ZERO edges (nothing written, no batch dir):
+        // emit a single zero-count lineage row instead of dying on a
+        // missing path — the stream must survive empty batches, and the
+        // explicit row records that the batch committed empty
+        val lineage =
+          if (fs.exists(batchPath))
+            spark.read.parquet(batchPath.toString)
+              .groupBy(input_file_name().as("file"))
+              .agg(count(lit(1)).as("row_count"))
+              .select(
+                lit("stream_extract").as("stage"),
+                regexp_extract(col("file"), "part-(\\d+)", 1).cast("int").as("partition_id"),
+                lit(s"batch-$batchId").as("input_snapshot"),
+                col("row_count"),
+                lit(wallMs).as("wall_ms"),
+                lit(batchId).as("batch_id"))
+          else
+            spark.range(1).select(
+              lit("stream_extract").as("stage"),
+              lit(-1).as("partition_id"),
+              lit(s"batch-$batchId").as("input_snapshot"),
+              lit(0L).as("row_count"),
+              lit(wallMs).as("wall_ms"),
+              lit(batchId).as("batch_id"))
+        lineage
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(s"$root/lineage")

@@ -27,6 +27,16 @@ class CurationSpec extends AnyFunSuite {
     assert(r(5L) == (1, 1, 1, "mix <EMAIL> <IP> <PHONE> end"))
   }
 
+  test("piiSignals: counts reconcile with placeholders when categories overlap") {
+    // the email pattern consumes the phone-shaped local part, so the phone
+    // count (taken on the email-redacted string) must be 0, matching the
+    // absence of a <PHONE> placeholder in the output
+    val docs = Seq((1L, "reach 555-867-5309@corp.com now")).toDF("doc_id", "text")
+    val r = Curation.piiSignals(docs, "doc_id", "text").head()
+    assert(r.getInt(1) == 1 && r.getInt(2) == 0 && r.getInt(3) == 0)
+    assert(r.getString(4) == "reach <EMAIL> now")
+  }
+
   test("repetitionSignals: hand-computed n-gram stats and gate") {
     val docs = Seq(
       (1L, "a b a b"), // 2-grams: "a b","b a","a b" -> total 3, dist 2, top 2

@@ -130,6 +130,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming extraction survives an empty first batch (zero-row lineage, then recovers)") {
+    import graft.streaming.StreamingExtraction
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-e").toString
+    val q = StreamingExtraction.run(input.toDS().toDF(), root, s"$root/_ckpt",
+      partitions = 4)
+    try {
+      // batch 0: turns whose text contains no gazetteer mention -> zero
+      // edges, nothing written under edges/batch_id=0
+      val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      input.addData(Seq(
+        Turn("conv-e", 0, "user", "zzz qqq nothing here", "", ts),
+        Turn("conv-e", 1, "assistant", "still nothing", "", ts)))
+      q.processAllAvailable()
+      assert(q.isActive, "stream died on the empty batch")
+      val lin0 = spark.read.parquet(s"$root/lineage").collect()
+      assert(lin0.length == 1 && lin0.head.getAs[Long]("row_count") == 0L
+        && lin0.head.getAs[Int]("partition_id") == -1
+        && lin0.head.getAs[String]("input_snapshot") == "batch-0")
+      // batch 1: real turns -> edges appear and lineage reconciles
+      input.addData((0 until 3).map(i => Transcripts.turn(1L, i)))
+      q.processAllAvailable()
+      val edges = spark.read.parquet(s"$root/edges")
+      val lin = spark.read.parquet(s"$root/lineage").collect()
+      assert(lin.map(_.getAs[Int]("batch_id")).toSet == Set(0, 1))
+      assert(lin.map(_.getAs[Long]("row_count")).sum == edges.count())
+    } finally q.stop()
+  }
+
   test("streaming dedup: cross-batch duplicates dropped, state evicted past the watermark") {
     import graft.streaming.StreamingDedup
     implicit val sqlCtx = spark.sqlContext
