@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.DocQueries.queries ++
       graft.queries.MoreQueries.queries ++
       graft.queries.GraphQueries2.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.EventQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.DocQueries.oracleSql ++
       graft.queries.MoreQueries.oracleSql ++
       graft.queries.GraphQueries2.oracleSql ++
-      graft.queries.CurationQueries.oracleSql
+      graft.queries.CurationQueries.oracleSql ++
+      graft.queries.EventQueries.oracleSql
 }

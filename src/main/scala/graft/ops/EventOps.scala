@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream relational operators Spark lacks as primitives: as-of join
+  * and gap-based sessionization. Both are single-shuffle window plans —
+  * partitioned by the join/session key, ordered by time — never a range
+  * cross-join; skew follows the per-key event volume, the same contract as
+  * the streaming Sessionize path.
+  */
+object EventOps {
+
+  /** Epoch microseconds for TIMESTAMP or TIMESTAMP_NTZ columns (parquet
+    * event times read as NTZ; `unix_micros` alone rejects NTZ). The NTZ →
+    * TIMESTAMP cast interprets the value in the SESSION time zone — every
+    * entry point in this engine pins it to UTC, which also matches
+    * DuckDB's naive `epoch_us`, so the oracle compares identical integers.
+    */
+  def epochMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** As-of join: for every left row, the single most recent right row of
+    * the same `keyCol` with `right.tsCol <= left.tsCol` (backward as-of,
+    * the market-data/attribution semantics; DuckDB's `ASOF JOIN` — which
+    * the oracle twin uses verbatim — matches it).
+    *
+    * Implementation is the union-tag trick, NOT a range join: both sides
+    * are unioned with a side tag, one window pass per key carries the
+    * last-seen right payload forward (`last(..., ignoreNulls)` over
+    * (ts, side) order, right-before-left on ties so an equal-timestamp
+    * right row is visible), and left rows are filtered back out. ONE
+    * shuffle on `keyCol`, O(n log n) per key for the sort — a range join
+    * would be O(n_l * n_r) per key.
+    *
+    * Output: every left row (all left columns) plus, from the matched
+    * right row, `tsCol` as `matched_ts` and each `rightCols` column as
+    * `matched_<name>` — all null when no right row precedes the left row.
+    *
+    * Determinism: ties on (key, ts) WITHIN the right side are broken by
+    * the greatest `rightIdCol`, pinning the result (and oracle parity)
+    * when timestamps collide.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, rightIdCol: String,
+               rightCols: Seq[String]): DataFrame = {
+    val payloadCols = (tsCol +: rightCols).distinct
+    val lpay = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rpay = struct(payloadCols.map(col).toIndexedSeq: _*)
+    val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val rType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c)).toIndexedSeq)
+    val l = left.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      lit(1).as("__side"), lit(null).cast("long").as("__rid"),
+      lpay.as("__lpay"), lit(null).cast(rType).as("__rpay"))
+    val r = right.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      lit(0).as("__side"), col(rightIdCol).cast("long").as("__rid"),
+      lit(null).cast(lType).as("__lpay"), rpay.as("__rpay"))
+    // right rows sort before left rows at equal ts (side 0 < 1) so <= ties
+    // match; among right ties the greatest __rid wins (sorted last)
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts").asc, col("__side").asc, col("__rid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchedCols =
+      col("__matched").getField(tsCol).as("matched_ts") +:
+        rightCols.map(c => col("__matched").getField(c).as(s"matched_$c"))
+    l.union(r)
+      .withColumn("__matched", last(col("__rpay"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(col("__lpay.*") +: matchedCols.toIndexedSeq: _*)
+  }
+
+  /** Gap-based sessionization (batch twin of
+    * [[graft.streaming.Sessionize]]'s stateful shape): events of one
+    * `keyCol` whose successive `tsCol` gaps are <= `gapSeconds` share a
+    * session. Appends `session_idx` (0-based per key, in time order) and
+    * `session_id` ("<key>#<idx>"). Ties on ts are ordered by `idCol` so
+    * the assignment is deterministic. One shuffle on the key; two chained
+    * window passes over the same (key, ts, id) sort — Spark folds them
+    * into one sort.
+    */
+  def gapSessions(events: DataFrame, keyCol: String, tsCol: String,
+                  idCol: String, gapSeconds: Long): DataFrame = {
+    val order = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val newSession = when(
+      lag(col(tsCol), 1).over(order).isNull ||
+        epochMicros(col(tsCol)) - epochMicros(lag(col(tsCol), 1).over(order)) >
+          gapSeconds * 1000000L, 1L).otherwise(0L)
+    events
+      .withColumn("session_idx",
+        sum(newSession).over(
+          order.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .withColumn("session_id",
+        concat(col(keyCol).cast("string"), lit("#"), col("session_idx")))
+  }
+}

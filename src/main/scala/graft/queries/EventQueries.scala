@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.EventOps
+
+/** Driver-checked queries for the event-stream relational operators
+  * (as-of join, gap sessionization) over the events table. The ev_asof
+  * oracle uses DuckDB's NATIVE `ASOF JOIN` — the Spark union-tag plan must
+  * reproduce another engine's built-in as-of semantics exactly, not just a
+  * hand-rolled SQL rewrite of itself.
+  */
+object EventQueries {
+
+  private def events(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/events.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+      // one right row per (user, ts) — max event_id — so ties are pinned
+      // on BOTH engines (DuckDB ASOF picks an arbitrary row among exact-ts
+      // duplicates; the dedupe removes the ambiguity, asofJoin's
+      // rightIdCol tie-break covers the Spark side regardless)
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+      val j = EventOps.asofJoin(purchases, clicks, "user_id", "ts",
+        rightIdCol = "click_id", rightCols = Seq("click_id"))
+      j.agg(
+        count(lit(1)).cast("bigint").as("n_purchases"),
+        count(col("matched_ts")).cast("bigint").as("matched"),
+        sum(EventOps.epochMicros(col("ts")) - EventOps.epochMicros(col("matched_ts")))
+          .cast("bigint").as("sum_lag_us"),
+        sum("matched_click_id").cast("bigint").as("click_checksum"),
+        max(EventOps.epochMicros(col("ts")) - EventOps.epochMicros(col("matched_ts")))
+          .cast("bigint").as("max_lag_us"))
+    }),
+
+    "ev_sessions" -> ((s, dir) => {
+      val sess = EventOps.gapSessions(events(s, dir), "user_id", "ts",
+        "event_id", gapSeconds = 1800)
+      val perSession = sess.groupBy("user_id", "session_idx").agg(
+        count(lit(1)).as("n_ev"),
+        (max(EventOps.epochMicros(col("ts"))) - min(EventOps.epochMicros(col("ts")))).as("dur_us"))
+      perSession.agg(
+        count(lit(1)).cast("bigint").as("n_sessions"),
+        max("n_ev").cast("bigint").as("max_session_events"),
+        count(when(col("n_ev") === 1, 1)).cast("bigint").as("singleton_sessions"),
+        sum("dur_us").cast("bigint").as("total_duration_us"),
+        sum(col("user_id") * (col("session_idx") + 1))
+          .cast("bigint").as("session_checksum"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "ev_asof" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.user_id, p.ts, c.ts AS matched_ts, c.click_id
+        |  FROM p ASOF LEFT JOIN clicks c
+        |    ON p.user_id = c.user_id AND p.ts >= c.ts)
+        |SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(count(matched_ts) AS BIGINT) AS matched,
+        |       CAST(sum(epoch_us(ts) - epoch_us(matched_ts)) AS BIGINT) AS sum_lag_us,
+        |       CAST(sum(click_id) AS BIGINT) AS click_checksum,
+        |       CAST(max(epoch_us(ts) - epoch_us(matched_ts)) AS BIGINT) AS max_lag_us
+        |FROM j""".stripMargin,
+
+    "ev_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |n AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN prev IS NULL
+        |                OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM o),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+        |           AS session_idx
+        |  FROM n),
+        |g AS (
+        |  SELECT user_id, session_idx, count(*) AS n_ev,
+        |         max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+        |  FROM s GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(max(n_ev) AS BIGINT) AS max_session_events,
+        |       CAST(count(*) FILTER (WHERE n_ev = 1) AS BIGINT) AS singleton_sessions,
+        |       CAST(sum(dur_us) AS BIGINT) AS total_duration_us,
+        |       CAST(sum(user_id * (session_idx + 1)) AS BIGINT) AS session_checksum
+        |FROM g""".stripMargin)
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.EventOps
+
+class EventOpsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  test("asofJoin: hand-computed matches, <= ties, id tie-break, unmatched nulls") {
+    val left = Seq(
+      (1L, ts(100), "p1"), // after r at 50 and 90 -> 90
+      (1L, ts(90), "p2"), // equal ts -> the ts(90) right row matches
+      (1L, ts(40), "p3"), // before every right row -> null
+      (2L, ts(500), "p4") // key with no right rows -> null
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts(50), 7L),
+      (1L, ts(90), 8L),
+      (1L, ts(90), 9L), // same (key, ts): greatest id must win
+      (1L, ts(120), 10L)
+    ).toDF("user_id", "ts", "click_id")
+    val j = EventOps.asofJoin(left, right, "user_id", "ts", "click_id", Seq("click_id"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        (Option(r.getAs[Timestamp]("matched_ts")).map(_.getTime / 1000),
+          Option(r.getAs[Any]("matched_click_id")).map(_.asInstanceOf[Long]))).toMap
+    assert(j("p1") == ((Some(90L), Some(9L))))
+    assert(j("p2") == ((Some(90L), Some(9L)))) // <= semantics + max-id tie-break
+    assert(j("p3") == ((None, None)))
+    assert(j("p4") == ((None, None)))
+  }
+
+  test("asofJoin == brute-force argmax on random data") {
+    val rnd = new scala.util.Random(11)
+    val left = (0 until 300).map(i => (rnd.nextInt(5).toLong, ts(rnd.nextInt(1000).toLong), i.toLong))
+    val right = (0 until 300).map(i => (rnd.nextInt(5).toLong, ts(rnd.nextInt(1000).toLong), 1000L + i))
+    val lDf = left.toDF("user_id", "ts", "lid")
+    val rDf = right.toDF("user_id", "ts", "rid")
+    val got = EventOps.asofJoin(lDf, rDf, "user_id", "ts", "rid", Seq("rid"))
+      .collect().map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[Any]("matched_rid")).map(_.asInstanceOf[Long])).toMap
+    left.foreach { case (k, t, lid) =>
+      val cands = right.filter(r => r._1 == k && !r._2.after(t))
+      val expected =
+        if (cands.isEmpty) None
+        else Some(cands.maxBy(r => (r._2.getTime, r._3))._3)
+      assert(got(lid) == expected, s"lid=$lid key=$k ts=$t")
+    }
+  }
+
+  test("gapSessions: sessions split at the gap, deterministic idx, singleton handling") {
+    val ev = Seq(
+      (1L, ts(0), 1L), (1L, ts(100), 2L), (1L, ts(1900), 3L), // gap 1800 exceeded at 100 -> 1900? 1800s gap: 1900-100=1800 NOT > 1800 -> same session
+      (1L, ts(4000), 4L), // 4000-1900=2100 > 1800 -> new session
+      (2L, ts(50), 5L) // separate key
+    ).toDF("user_id", "ts", "event_id")
+    val s = EventOps.gapSessions(ev, "user_id", "ts", "event_id", 1800L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("session_idx"), r.getAs[String]("session_id"))).toMap
+    assert(s(1L)._1 == 0 && s(2L)._1 == 0 && s(3L)._1 == 0) // boundary: gap == limit stays
+    assert(s(4L) == ((1L, "1#1")))
+    assert(s(5L) == ((0L, "2#0")))
+  }
+}
