@@ -319,4 +319,44 @@ object Dedup {
       .where(col("cos") >= minCos)
       .select(col("x.id").as("a"), col("y.id").as("b"), col("cos"))
   }
+
+  /** Cross-document duplicate-SPAN detection — the substring-level dedup
+    * signal (cf. Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": repeated spans, not just whole-doc dups,
+    * drive memorization). Whole-doc ops above miss a boilerplate paragraph
+    * pasted into otherwise-distinct pages; this finds it.
+    *
+    * Each document is cut into fixed `width`-char windows at `stride`
+    * offsets (positions 0, stride, 2*stride, … ≤ len-width; docs shorter
+    * than `width` contribute no spans and no output row). A span whose
+    * content hash occurs in >= 2 DISTINCT documents is "duplicated".
+    * Returns one row per spanned doc: `n_spans`, `dup_spans`, `dup_frac`.
+    *
+    * Stride sampling is the scale trade vs a suffix array: a shared
+    * substring is only caught when some window of it is sampled at the
+    * same alignment in both docs, so recall rises as stride shrinks
+    * (stride=1 guarantees any shared substring of length >= width is
+    * caught — at width x the span volume). Span volume is
+    * n_chars/stride rows — linear in corpus size; the hot-hash table is
+    * bounded by actually-duplicated content. Two shuffles (hash count +
+    * hash join back), both equi-keyed on the span hash, never all-pairs.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     width: Int = 40, stride: Int = 20): DataFrame = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    val spans = docs
+      .select(col(idCol).as("id"), col(textCol).as("t"), length(col(textCol)).as("len"))
+      .where(col("len") >= width)
+      .select(col("id"),
+        explode(sequence(lit(0), col("len") - width, lit(stride))).as("p"), col("t"))
+      .select(col("id"), md5(col("t").substr(col("p") + 1, lit(width))).as("h"))
+    val hot = spans.groupBy("h").agg(countDistinct(col("id")).as("ndocs"))
+      .where(col("ndocs") >= 2).select(col("h"), lit(1L).as("__dup"))
+    spans.join(hot, Seq("h"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        coalesce(sum(col("__dup")), lit(0L)).as("dup_spans"))
+      .withColumn("dup_frac",
+        col("dup_spans").cast("double") / col("n_spans").cast("double"))
+  }
 }

@@ -70,6 +70,69 @@ object EventOps {
       .select(col("__lpay.*") +: matchedCols.toIndexedSeq: _*)
   }
 
+  /** Floor division on long columns (`div` truncates toward zero — wrong
+    * for pre-epoch timestamps). Subtracting the positive mod first makes
+    * the numerator an exact multiple of `d`; the double division is then
+    * exact while |c| < 2^53 µs (~year 2255), same exactness reasoning as
+    * `Curation.packChunksGlobal`'s integral `div`.
+    */
+  private def floorDiv(c: Column, d: Long): Column =
+    ((c - ((c % d) + d) % d) / d).cast("long")
+
+  /** Interval (range) join: one row per (point, interval) pair with
+    * `start <= ts < end` (half-open, the SQL range-join convention the
+    * DuckDB oracle twin states literally as `ts >= start AND ts < end`).
+    *
+    * Spark has no range-join strategy: the naive
+    * `points.join(intervals, ts >= start && ts < end)` plans a
+    * BroadcastNestedLoopJoin (or worse, a CartesianProduct) — O(n_p * n_i)
+    * comparisons, a non-starter once the interval side outgrows a
+    * broadcast. This instead bins time into fixed `binSeconds` buckets:
+    * each point maps to exactly ONE bin, each interval explodes to the
+    * bins it covers, and the join is a hash EQUI-join on the bin id with
+    * the exact range predicate as a residual filter. A matching pair is
+    * found exactly once (the point's single bin is among the interval's
+    * covered bins), so no post-join dedup is needed. Shuffle keys are time
+    * bins — skew follows time density and is tunable via `binSeconds`.
+    *
+    * The interval explosion is bounded by `maxBinsPerInterval` with a
+    * runtime `raise_error` guard (same philosophy as the embedding-cosine
+    * block audit): an unexpectedly long interval fails loudly instead of
+    * silently materializing an unbounded bin list. Pick `binSeconds` near
+    * the typical interval length — one output row per interval-bin, ~2
+    * bins per interval at the default.
+    *
+    * Column contract: output = all point columns ++ all interval columns;
+    * the two schemas must be disjoint (rename on the way in).
+    */
+  def rangeJoin(points: DataFrame, tsCol: String,
+                intervals: DataFrame, startCol: String, endCol: String,
+                binSeconds: Long = 3600L,
+                maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    val clash = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(clash.isEmpty, s"rangeJoin: column names clash across sides: $clash")
+    val binUs = binSeconds * 1000000L
+    val p = points.withColumn("__bin", floorDiv(epochMicros(col(tsCol)), binUs))
+    val sBin = floorDiv(epochMicros(col(startCol)), binUs)
+    val eBin = floorDiv(epochMicros(col(endCol)) - 1, binUs) // end exclusive
+    val i = intervals
+      .where(epochMicros(col(endCol)) > epochMicros(col(startCol)))
+      .withColumn("__bin", explode(
+        when(eBin - sBin >= maxBinsPerInterval.toLong,
+          raise_error(concat(
+            lit(s"rangeJoin: interval covers >= $maxBinsPerInterval bins of " +
+              s"$binSeconds s (start="), col(startCol).cast("string"),
+            lit(", end="), col(endCol).cast("string"),
+            lit("); raise binSeconds or maxBinsPerInterval"))))
+          .otherwise(sequence(sBin, eBin))))
+    p.join(i, Seq("__bin"))
+      .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bin")
+      .select((points.columns ++ intervals.columns).map(col).toIndexedSeq: _*)
+  }
+
   /** Gap-based sessionization (batch twin of
     * [[graft.streaming.Sessionize]]'s stateful shape): events of one
     * `keyCol` whose successive `tsCol` gaps are <= `gapSeconds` share a

@@ -93,6 +93,12 @@ object DocQueries {
           coalesce(sum("component"), lit(0L)).as("keeper_checksum")))
     }),
 
+    "doc_dup_spans" -> ((s, dir) => {
+      // substring-level dedup: per-doc duplicated-span profile (full rows —
+      // the driver hashes every doc's n_spans/dup_spans/dup_frac)
+      Dedup.duplicateSpans(docs(s, dir), "doc_id", "text", width = 40, stride = 20)
+    }),
+
     "doc_simhash" -> ((s, dir) => {
       // 60-bit SimHash (the web-scale width), 4 bands x 15 bits — the
       // pigeonhole blocking stays lossless for Hamming <= 3 while band keys
@@ -403,6 +409,22 @@ object DocQueries {
          |       CAST(coalesce(sum(sz - 1), 0) AS BIGINT) AS removed_docs,
          |       CAST(coalesce(sum(component), 0) AS BIGINT) AS keeper_checksum
          |FROM sizes""".stripMargin,
+
+    "doc_dup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents),
+        |sp AS (
+        |  SELECT doc_id, md5(substr(text, p + 1, 40)) AS h
+        |  FROM (SELECT doc_id, text, unnest(range(0, len - 40 + 1, 20)) AS p
+        |        FROM d WHERE len >= 40)),
+        |hot AS (
+        |  SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT sp.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(count(hot.h) AS BIGINT) AS dup_spans,
+        |       CAST(count(hot.h) AS DOUBLE) / count(*) AS dup_frac
+        |FROM sp LEFT JOIN hot ON sp.h = hot.h
+        |GROUP BY sp.doc_id""".stripMargin,
 
     "doc_simhash" ->
       """WITH toks AS (

@@ -38,6 +38,24 @@ object EventQueries {
           .cast("bigint").as("max_lag_us"))
     }),
 
+    "ev_range" -> ((s, dir) => {
+      val ev = events(s, dir)
+      // promo windows: every 50th event opens a 1-hour interval
+      val iv = ev.where(col("event_id") % 50 === 0)
+        .select(col("event_id").as("ivl_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("end_ts"))
+      val pts = ev.select("event_id", "ts", "user_id")
+      val j = EventOps.rangeJoin(pts, "ts", iv, "start_ts", "end_ts",
+        binSeconds = 1800L)
+      j.agg(
+        count(lit(1)).cast("bigint").as("n_pairs"),
+        countDistinct(col("event_id")).cast("bigint").as("matched_points"),
+        countDistinct(col("ivl_id")).cast("bigint").as("hit_intervals"),
+        sum(col("event_id") * col("ivl_id")).cast("bigint").as("pair_checksum"),
+        max(EventOps.epochMicros(col("ts")) - EventOps.epochMicros(col("start_ts")))
+          .cast("bigint").as("max_offset_us"))
+    }),
+
     "ev_sessions" -> ((s, dir) => {
       val sess = EventOps.gapSessions(events(s, dir), "user_id", "ts",
         "event_id", gapSeconds = 1800)
@@ -68,6 +86,22 @@ object EventQueries {
         |       CAST(sum(epoch_us(ts) - epoch_us(matched_ts)) AS BIGINT) AS sum_lag_us,
         |       CAST(sum(click_id) AS BIGINT) AS click_checksum,
         |       CAST(max(epoch_us(ts) - epoch_us(matched_ts)) AS BIGINT) AS max_lag_us
+        |FROM j""".stripMargin,
+
+    "ev_range" ->
+      """WITH i AS (
+        |  SELECT event_id AS ivl_id, ts AS start_ts,
+        |         ts + INTERVAL 1 HOUR AS end_ts
+        |  FROM events WHERE event_id % 50 = 0),
+        |j AS (
+        |  SELECT e.event_id, e.ts, i.ivl_id, i.start_ts
+        |  FROM events e JOIN i
+        |    ON e.ts >= i.start_ts AND e.ts < i.end_ts)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(count(DISTINCT event_id) AS BIGINT) AS matched_points,
+        |       CAST(count(DISTINCT ivl_id) AS BIGINT) AS hit_intervals,
+        |       CAST(sum(event_id * ivl_id) AS BIGINT) AS pair_checksum,
+        |       CAST(max(epoch_us(ts) - epoch_us(start_ts)) AS BIGINT) AS max_offset_us
         |FROM j""".stripMargin,
 
     "ev_sessions" ->

@@ -67,4 +67,54 @@ class EventOpsSpec extends AnyFunSuite {
     assert(s(4L) == ((1L, "1#1")))
     assert(s(5L) == ((0L, "2#0")))
   }
+
+  test("rangeJoin: half-open boundaries, multi-bin intervals, overlaps, empty intervals") {
+    val pts = Seq(
+      (1L, ts(100)), // == start of A -> in A
+      (2L, ts(399)), // last second of A
+      (3L, ts(400)), // == end of A -> excluded (half-open)
+      (4L, ts(250)), // inside A and the overlapping B
+      (5L, ts(9999)) // matches nothing
+    ).toDF("pid", "ts")
+    val ivs = Seq(
+      (10L, ts(100), ts(400)), // A: spans many 60s bins
+      (11L, ts(200), ts(300)), // B: overlaps A
+      (12L, ts(500), ts(500)), // empty -> matches nothing
+      (13L, ts(600), ts(550)) // inverted -> matches nothing
+    ).toDF("ivl", "start_ts", "end_ts")
+    val got = EventOps.rangeJoin(pts, "ts", ivs, "start_ts", "end_ts", binSeconds = 60L)
+      .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("ivl"))).toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (4L, 10L), (4L, 11L)))
+  }
+
+  test("rangeJoin == brute-force cross filter on random data, exactly-once pairs") {
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 400).map(i => (i.toLong, ts(rnd.nextInt(5000).toLong)))
+    val ivs = (0 until 60).map { i =>
+      val s = rnd.nextInt(5000).toLong
+      (1000L + i, ts(s), ts(s + 1 + rnd.nextInt(600).toLong))
+    }
+    val pDf = pts.toDF("pid", "ts")
+    val iDf = ivs.toDF("ivl", "start_ts", "end_ts")
+    val got = EventOps.rangeJoin(pDf, "ts", iDf, "start_ts", "end_ts", binSeconds = 120L)
+      .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("ivl")))
+    val expected = for {
+      (pid, t) <- pts
+      (ivl, s, e) <- ivs
+      if !t.before(s) && t.before(e)
+    } yield (pid, ivl)
+    // multiset equality: every qualifying pair exactly once, none duplicated by binning
+    assert(got.sorted.toSeq == expected.sorted)
+  }
+
+  test("rangeJoin: over-wide interval fails loudly instead of exploding") {
+    val pts = Seq((1L, ts(0))).toDF("pid", "ts")
+    val ivs = Seq((1L, ts(0), ts(1000000))).toDF("ivl", "start_ts", "end_ts")
+    val ex = intercept[Exception] {
+      EventOps.rangeJoin(pts, "ts", ivs, "start_ts", "end_ts",
+        binSeconds = 1L, maxBinsPerInterval = 100).collect()
+    }
+    assert(ex.getMessage.contains("rangeJoin") ||
+      Option(ex.getCause).exists(_.getMessage.contains("rangeJoin")))
+  }
 }

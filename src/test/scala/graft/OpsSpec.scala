@@ -33,6 +33,28 @@ class OpsSpec extends AnyFunSuite {
       && dupGroup.head.getLong(2) == 2L) // keeps min id 1, size 2
   }
 
+  test("duplicateSpans: cross-doc spans flagged, self-repeats don't count, short docs skipped") {
+    val boiler = "SHARED-BOILERPLATE-PARAGRAPH-0123456789-ABCDEFGHIJ" // 50 chars
+    val d = Seq(
+      (1L, "unique prefix one " + boiler + " tail one"), // len 77
+      (2L, "a different lead-in text " + boiler + " other tail"),
+      (3L, "completely unrelated content with nothing shared at all here ok"),
+      (4L, "xy" * 30), // 60 chars of self-repetition, no cross-doc sharing
+      (5L, "short")
+    ).toDF("doc_id", "text")
+    // stride=1 guarantees any shared substring of length >= width is caught
+    val res = Dedup.duplicateSpans(d, "doc_id", "text", width = 40, stride = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_spans"))).toMap
+    assert(!res.contains(5L)) // shorter than width -> no spans, no row
+    assert(res(1L)._1 == 38L) // 77 - 40 + 1 stride-1 windows
+    // the shared region is " " + boiler + " " = 52 chars (both docs flank the
+    // paragraph with spaces) -> 52 - 40 + 1 = 13 shared 40-wide windows each
+    assert(res(1L)._2 == 13L && res(2L)._2 == 13L)
+    assert(res(3L)._2 == 0L)
+    assert(res(4L)._2 == 0L) // within-doc repetition is not cross-doc duplication
+  }
+
   test("ngram jaccard finds the near-dup pair and the exact pair") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -103,6 +103,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!sim.contains("CartesianProduct"), sim.take(500))
   }
 
+  test("rangeJoin plans a hash equi-join on the bin, never a nested-loop range join") {
+    import java.sql.Timestamp
+    val pts = Seq.tabulate(50)(i => (i.toLong, new Timestamp(i * 1000L))).toDF("pid", "ts")
+    val ivs = Seq.tabulate(5)(i =>
+      (100L + i, new Timestamp(i * 10000L), new Timestamp(i * 10000L + 5000L)))
+      .toDF("ivl", "start_ts", "end_ts")
+    val plan = planOf(graft.ops.EventOps.rangeJoin(pts, "ts", ivs, "start_ts", "end_ts", 60L))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(800))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(800))
+  }
+
   test("frame sampling is pure column expressions (no object serialization)") {
     val media = Seq((1L, "abcdefghijklmnop")).toDF("media_id", "t")
       .select($"media_id", $"t".cast("binary").as("payload"))
