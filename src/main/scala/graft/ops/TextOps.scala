@@ -177,4 +177,41 @@ object TextOps {
       when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und")))
       .select(col(idCol), col("predicted"))
   }
+
+  /** Corpus heavy hitters: the EXACT top-`k` token `n`-grams per `byCol`
+    * group (count desc, gram asc tie-break — fully deterministic), with
+    * `cnt` and 1-based `rank`.
+    *
+    * Scale shape: the count is a two-phase groupBy (map-side combine). The
+    * naive finish — `row_number() over (partition by group)` — funnels
+    * EVERY distinct gram of a group through one task, a single-partition
+    * sort when group cardinality is low (a handful of languages over a
+    * web corpus). Instead the top-k is taken in two exact stages: each
+    * gram is salted into one of `saltBuckets` sub-partitions by gram hash
+    * (a gram's counts are already fully aggregated, so it lands WHOLLY in
+    * one bucket), per-(group, bucket) top-k keeps every possible global
+    * winner (if a gram is in the group's true top-k, fewer than k grams in
+    * its own bucket beat it), and the final window ranks only the
+    * <= k * saltBuckets survivors per group.
+    */
+  def topNgrams(docs: DataFrame, textCol: String, byCol: String,
+                n: Int, k: Int, saltBuckets: Int = 64): DataFrame = {
+    require(n > 0 && k > 0 && saltBuckets > 0)
+    val t = docs.select(col(byCol).as("grp"), tokens(col(textCol)).as("toks"))
+    val idx = when(size(col("toks")) >= n, sequence(lit(0), size(col("toks")) - n))
+      .otherwise(typedlit(Seq.empty[Int]))
+    val grams = t.select(col("grp"), explode(
+      transform(idx, i => array_join(slice(col("toks"), i + 1, lit(n)), " "))).as("gram"))
+    val counts = grams.groupBy("grp", "gram").agg(count(lit(1)).as("cnt"))
+    val salted = counts.withColumn("__salt", pmod(hash(col("gram")), lit(saltBuckets)))
+    val perBucket = Window.partitionBy("grp", "__salt")
+      .orderBy(col("cnt").desc, col("gram").asc)
+    val survivors = salted
+      .withColumn("__r", row_number().over(perBucket)).where(col("__r") <= k)
+    val finalW = Window.partitionBy("grp").orderBy(col("cnt").desc, col("gram").asc)
+    survivors
+      .withColumn("rank", row_number().over(finalW).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("grp").as(byCol), col("gram"), col("cnt"), col("rank"))
+  }
 }

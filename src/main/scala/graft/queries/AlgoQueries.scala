@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algo.{Bfs, ConnectedComponents, PageRank}
+import graft.algo.{Bfs, ConnectedComponents, KCore, PageRank}
 import graft.graph.GraphTables
 import graft.sources.NTriples
 import QueryUtil._
@@ -59,10 +59,51 @@ object AlgoQueries {
        |${finalSelect(s"r$iters")}""".stripMargin
   }
 
+  /** Unrolled k-core peel d1/e1..dR/eR (graft.algo.KCore.kCore): each
+    * round recomputes degrees over the surviving simple undirected edge
+    * set and keeps edges whose BOTH endpoints have degree >= k.
+    */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT v, count(*) AS d FROM (
+         |    SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) u
+         |  GROUP BY v),
+         |e$i AS MATERIALIZED (
+         |  SELECT a, b FROM e${i - 1}
+         |  WHERE a IN (SELECT v FROM d$i WHERE d >= $k)
+         |    AND b IN (SELECT v FROM d$i WHERE d >= $k))""".stripMargin
+    }.mkString(",\n")
+    // MATERIALIZED is load-bearing: every round reads the previous round's
+    // edge set twice, so DuckDB's default CTE inlining would expand e0 a
+    // couple of THOUSAND times (2^rounds) — "too many open files" on the
+    // parquet view before it even runs
+    s"""$edgesCte,
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src <> dst),
+       |$steps,
+       |core AS (
+       |  SELECT v, count(*) AS core_deg FROM (
+       |    SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds) u
+       |  GROUP BY v)
+       |SELECT CAST(count(*) AS BIGINT) AS core_vertices,
+       |       CAST(coalesce(sum(core_deg) / 2, 0) AS BIGINT) AS core_edges,
+       |       CAST(coalesce(min(core_deg), 0) AS BIGINT) AS min_core_deg,
+       |       CAST(coalesce(max(core_deg), 0) AS BIGINT) AS max_core_deg,
+       |       CAST(coalesce(sum(core_deg), 0) AS BIGINT) AS deg_checksum
+       |FROM core""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_cc" -> ((s, dir) =>
       ConnectedComponents.componentSizes(ConnectedComponents.run(smallEdges(s, dir)))
         .orderBy("component")),
+
+    // k-core peel on the full lineitem graph; the oracle replays the peel
+    // as 12 unrolled rounds (>= the 3-4 rounds these graphs need; rounds
+    // past convergence are no-ops on both engines)
+    "kg_kcore" -> ((s, dir) => KCore.summary(liEdges(s, dir), k = 20)),
 
     "kg_pagerank" -> ((s, dir) =>
       PageRank.runFixed(smallEdges(s, dir), iters = 10)
@@ -164,6 +205,8 @@ object AlgoQueries {
          |  )
          |  SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
          |) comp GROUP BY component ORDER BY component""".stripMargin,
+
+    "kg_kcore" -> kcoreSql(20, 12),
 
     "kg_pagerank" -> pagerankSql(10),
 

@@ -93,6 +93,11 @@ object DocQueries {
           coalesce(sum("component"), lit(0L)).as("keeper_checksum")))
     }),
 
+    "doc_top_ngrams" -> ((s, dir) => {
+      // exact per-language bigram heavy hitters (salted two-phase top-k)
+      TextOps.topNgrams(docs(s, dir), "text", "lang", n = 2, k = 10)
+    }),
+
     "doc_dup_spans" -> ((s, dir) => {
       // substring-level dedup: per-doc duplicated-span profile (full rows —
       // the driver hashes every doc's n_spans/dup_spans/dup_frac)
@@ -409,6 +414,22 @@ object DocQueries {
          |       CAST(coalesce(sum(sz - 1), 0) AS BIGINT) AS removed_docs,
          |       CAST(coalesce(sum(component), 0) AS BIGINT) AS keeper_checksum
          |FROM sizes""".stripMargin,
+
+    "doc_top_ngrams" ->
+      """WITH t AS (
+        |  SELECT lang, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT lang, array_to_string(toks[p:p+1], ' ') AS gram
+        |  FROM (SELECT lang, toks, unnest(range(1, len(toks))) AS p
+        |        FROM t WHERE len(toks) >= 2)),
+        |c AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, gram, cnt,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY cnt DESC, gram ASC) AS rank
+        |  FROM c)
+        |SELECT lang, gram, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10""".stripMargin,
 
     "doc_dup_spans" ->
       """WITH d AS (

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.algo.{Bfs, ConnectedComponents, Eigenvector, PageRank, Triangles}
+import graft.algo.{Bfs, ConnectedComponents, Eigenvector, KCore, PageRank, Triangles}
 
 class GraphAlgoSpec extends AnyFunSuite {
   import SparkTestSession.spark
@@ -32,6 +32,27 @@ class GraphAlgoSpec extends AnyFunSuite {
     val m = cc.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(m("a") == "a" && m("b") == "a" && m("c") == "a" && m("d") == "a")
     assert(m("x") == "x" && m("y") == "x")
+  }
+
+  test("k-core: cascading peel reaches the dense backbone, empty past max core") {
+    // K4 on a..d (degree 3 inside), plus a pendant chain d-e-f whose removal
+    // must CASCADE (f falls first, then e) — exercises multi-round peeling
+    val e = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"), ("e", "f"),
+      ("a", "a") // self loop: dropped by the simple-undirected reduction
+    ).toDF("src", "dst")
+    val core2 = KCore.kCore(e, 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core2 == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    val core3 = KCore.kCore(e, 3).collect().map(_.getString(0)).toSet
+    assert(core3 == Set("a", "b", "c", "d"))
+    assert(KCore.kCore(e, 4).count() == 0) // K4 has no 4-core
+    val s = KCore.summary(e, 2).head()
+    assert(s.getLong(0) == 4 && s.getLong(1) == 6 && s.getLong(2) == 3
+      && s.getLong(3) == 3 && s.getLong(4) == 12)
+    val empty = KCore.summary(e, 10).head()
+    assert(empty.getLong(0) == 0 && empty.getLong(1) == 0 && empty.getLong(4) == 0)
   }
 
   test("G4 pseudo-diameter on the fixture (directed, double sweep)") {

@@ -33,6 +33,30 @@ class OpsSpec extends AnyFunSuite {
       && dupGroup.head.getLong(2) == 2L) // keeps min id 1, size 2
   }
 
+  test("topNgrams: exact per-group top-k, deterministic tie-break, salted == unsalted") {
+    val d = Seq(
+      (1L, "a b a b a c", "en"), // bigrams: "a b"x2, "b a"x2, "a c"
+      (2L, "a b x y", "en"), // "a b" -> 3 total in en
+      (3L, "q r q r", "fr") // "q r"x2, "r q"
+    ).toDF("doc_id", "text", "lang")
+    val top = TextOps.topNgrams(d, "text", "lang", n = 2, k = 2)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[String]("gram"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("rank"))).toSet
+    assert(top == Set(
+      ("en", "a b", 3L, 1L),
+      ("en", "b a", 2L, 2L), // beats "a c"x1; ties broken gram-asc
+      ("fr", "q r", 2L, 1L),
+      ("fr", "r q", 1L, 2L)))
+    // the salted two-phase finish is exact: many buckets == single bucket
+    val rnd = new scala.util.Random(3)
+    val big = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(12)("w" + rnd.nextInt(30)).mkString(" "), "g" + (i % 2)))
+      .toDF("doc_id", "text", "lang")
+    def rows(sb: Int) = TextOps.topNgrams(big, "text", "lang", 2, 7, saltBuckets = sb)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(64) == rows(1))
+  }
+
   test("duplicateSpans: cross-doc spans flagged, self-repeats don't count, short docs skipped") {
     val boiler = "SHARED-BOILERPLATE-PARAGRAPH-0123456789-ABCDEFGHIJ" // 50 chars
     val d = Seq(
