@@ -136,6 +136,33 @@ object Curation {
         lit(0.0)))
   }
 
+  /** Per-group distribution profile: quantiles of `valCol` for every
+    * `byCol` group, long format (group, prob, value) — the corpus-health
+    * dashboard shape (length/quality-score percentiles per language or
+    * source).
+    *
+    * `exact = false` (the default) uses `percentile_approx` — a bounded
+    * sketch per group, the only shape that survives a 100-TB corpus where
+    * one group can hold billions of distinct values. `exact = true` is the
+    * sort-based exact percentile (per-group memory grows with distinct
+    * values) — oracle and test scale only; both ends of the trade are the
+    * same one-shuffle groupBy.
+    */
+  def groupQuantiles(df: DataFrame, valCol: String, byCol: String,
+                     probs: Seq[Double], exact: Boolean = false,
+                     accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      "probs must be in [0, 1]")
+    val ps = typedlit(probs)
+    val agg = if (exact) percentile(col(valCol), ps)
+              else percentile_approx(col(valCol), ps, lit(accuracy))
+    df.groupBy(col(byCol)).agg(agg.as("__qs"))
+      .select(col(byCol), posexplode(col("__qs")).as(Seq("__pos", "value")))
+      .select(col(byCol),
+        element_at(ps, col("__pos") + 1).as("prob"),
+        col("value").cast("double").as("value"))
+  }
+
   /** Concat-and-chunk sequence packing (the GPT-style pretraining layout):
     * documents are concatenated in `orderCol` order (ties broken by
     * `idCol`) within each `strataCol` group and the resulting token stream

@@ -53,6 +53,13 @@ object CurationQueries {
         sum(octet_length(col("redacted"))).cast("bigint").as("redacted_bytes"))
     }),
 
+    "doc_quantiles" -> ((s, dir) => {
+      // exact per-language length percentiles (the oracle-checkable end of
+      // the exact/approx trade; production default is the approx sketch)
+      roundDoubles(Curation.groupQuantiles(docs(s, dir), "n_chars", "lang",
+        Seq(0.1, 0.25, 0.5, 0.75, 0.9), exact = true))
+    }),
+
     "doc_repetition" -> ((s, dir) => {
       // map-only signal pass over a single-partition local file: spread it
       // (at production scale the input is already many-partitioned)
@@ -159,6 +166,20 @@ object CurationQueries {
          |       CAST(sum(${h64("redacted")} % 1000003) AS BIGINT) AS redacted_checksum,
          |       CAST(sum(strlen(redacted)) AS BIGINT) AS redacted_bytes
          |FROM pii""".stripMargin,
+
+    "doc_quantiles" ->
+      """WITH a AS (
+        |  SELECT lang,
+        |         quantile_cont(n_chars, [0.1, 0.25, 0.5, 0.75, 0.9]) AS qs
+        |  FROM documents GROUP BY lang),
+        |u AS (
+        |  SELECT lang,
+        |         unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS prob,
+        |         unnest(qs) AS value
+        |  FROM a)
+        |SELECT lang, CAST(round(prob, 6) AS DOUBLE) AS prob,
+        |       CAST(round(value, 6) AS DOUBLE) AS value
+        |FROM u""".stripMargin,
 
     "doc_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

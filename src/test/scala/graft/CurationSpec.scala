@@ -82,6 +82,23 @@ class CurationSpec extends AnyFunSuite {
     assert(r(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("groupQuantiles: exact linear interpolation per group; approx returns data values") {
+    val d = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L), ("b", 10L))
+      .toDF("grp", "v")
+    val exact = Curation.groupQuantiles(d, "v", "grp", Seq(0.1, 0.5), exact = true)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // type-7 interpolation at rank p*(n-1): 0.1*(5-1)=0.4 -> 1 + 0.4*(2-1)
+    assert(exact(("a", 0.1)) == 1.4)
+    assert(exact(("a", 0.5)) == 3.0)
+    assert(exact(("b", 0.1)) == 10.0 && exact(("b", 0.5)) == 10.0)
+    // the production sketch returns actual order statistics of the group
+    val approx = Curation.groupQuantiles(d, "v", "grp", Seq(0.1, 0.5))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(Set(1.0, 2.0).contains(approx(("a", 0.1))))
+    assert(approx(("a", 0.5)) == 3.0)
+    assert(approx(("b", 0.5)) == 10.0)
+  }
+
   test("packChunks: hand-computed placement, zero-token docs, strata independence") {
     val docs = Seq(
       (1L, 5L, "a"), (2L, 3L, "a"), (3L, 0L, "a"), (4L, 4L, "a"),

@@ -32,6 +32,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join: cross-batch matches == batch twin, trailing-window bounds") {
+    import graft.streaming.StreamJoin
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long): java.sql.Timestamp = new java.sql.Timestamp(sec * 1000L)
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val clickRows = Seq(
+      (ts(100), 1L, 10L), (ts(500), 1L, 11L), // u1: one in window, one not
+      (ts(900), 2L, 12L), (ts(1000), 2L, 13L), // u2: both in window (== ts match)
+      (ts(100), 3L, 14L)) // u3: never buys
+    val buyRows = Seq((ts(1000), 1L, 20L), (ts(1000), 2L, 21L))
+    val joined = StreamJoin.within(
+      buys.toDS().toDF("ts", "user_id", "buy_id"),
+      clicks.toDS().toDF("ts", "user_id", "click_id"),
+      "user_id", "ts", lookbackSeconds = 600L, delay = "10 minutes")
+    val q = joined.select("buy_id", "click_id_r")
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    try {
+      // batch 1: clicks only — nothing can join yet
+      clicks.addData(clickRows.take(3): _*)
+      q.processAllAvailable()
+      // batch 2: the rest of the clicks + the purchases
+      clicks.addData(clickRows.drop(3): _*)
+      buys.addData(buyRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("ssj").collect()
+        .map(r => (r.getAs[Long]("buy_id"), r.getAs[Long]("click_id_r"))).toSet
+      // u1 buy@1000 matches click@500 (>= 400) but NOT click@100; u2 buy@1000
+      // matches clicks @900 and @1000 (<= tie). CROSS-batch: u1's click@500
+      // arrived a batch before its purchase.
+      assert(got == Set((20L, 11L), (21L, 12L), (21L, 13L)))
+      // the same operator on static frames is the batch twin — identical pairs
+      val batch = StreamJoin.within(
+        buyRows.toDF("ts", "user_id", "buy_id"),
+        clickRows.toDF("ts", "user_id", "click_id"),
+        "user_id", "ts", 600L, "10 minutes")
+        .select("buy_id", "click_id_r").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("append-mode windows: one finalized emission per window, late data dropped") {
     import graft.streaming.EventWindows
     implicit val sqlCtx = spark.sqlContext
