@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.MoreQueries.queries ++
       graft.queries.GraphQueries2.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.EventQueries.queries
+      graft.queries.EventQueries.queries ++
+      graft.queries.SearchQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.MoreQueries.oracleSql ++
       graft.queries.GraphQueries2.oracleSql ++
       graft.queries.CurationQueries.oracleSql ++
-      graft.queries.EventQueries.oracleSql
+      graft.queries.EventQueries.oracleSql ++
+      graft.queries.SearchQueries.oracleSql
 }

@@ -1,0 +1,70 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Synchronous label propagation (Raghavan et al. 2007) made fully
+  * deterministic — an engine addition beyond lodcc's measure set (its
+  * natural companion: lodcc profiles per-dataset structure; LPA gives the
+  * mesoscale communities those profiles talk about).
+  *
+  * Determinism pins (both engines replay the identical recurrence):
+  *   - neighbor multiset = both directions of the raw edge list, parallel
+  *     edges counted with multiplicity, self loops dropped;
+  *   - label(v, 0) = v;
+  *   - label(v, t+1) = the neighbor label with the highest count at t,
+  *     ties broken by SMALLEST label (lexicographic);
+  *   - fixed iteration count (synchronous rounds), no early exit — the
+  *     oracle unrolls the same number of rounds.
+  *
+  * Plan shape per round: one equi-join of the cached neighbor table
+  * against the current labels (shuffle on vertex id), then a two-level
+  * aggregation — count per (v, label), argmax per v via min(struct(-cnt,
+  * label)) so the tie-break rides the same shuffle. Map-side partial
+  * aggregation keeps the (v, label) key space bounded by the edge count;
+  * lineage is truncated per round with localCheckpoint, the same loop
+  * discipline as [[PageRank]] / [[KCore]]. At 100 TB this is the standard
+  * semi-synchronous LPA shape: nothing wider than the edge list ever
+  * shuffles, and hub vertices cost one combiner entry per distinct
+  * neighbor label, not one row per neighbor.
+  */
+object LabelPropagation {
+
+  /** (vertex, community) after `iters` synchronous rounds. */
+  def runFixed(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val nbrs = edges.where(col("src") =!= col("dst"))
+      .select(col("src").as("v"), col("dst").as("u"))
+      .union(edges.where(col("src") =!= col("dst"))
+        .select(col("dst").as("v"), col("src").as("u")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vertices = nbrs.select(col("v").as("vertex")).distinct()
+
+    var labels = vertices.withColumn("community", col("vertex"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val next = nbrs
+        .join(labels.withColumnRenamed("vertex", "u"), "u")
+        .groupBy(col("v"), col("community"))
+        .agg(count(lit(1)).as("cnt"))
+        // argmax(count) with min-label tie-break in ONE agg: the struct
+        // orders by (-cnt, label), so min picks highest count, then
+        // smallest label
+        .groupBy(col("v").as("vertex"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("community").as("l")))
+          .as("top"))
+        .select(col("vertex"), col("top.l").as("community"))
+        .localCheckpoint(true)
+      labels = next
+    }
+    nbrs.unpersist(false)
+    labels
+  }
+
+  /** Per-community sizes of [[runFixed]] — (community, size), the
+    * driver-checked distribution shape.
+    */
+  def communitySizes(labels: DataFrame): DataFrame =
+    labels.groupBy("community").agg(count(lit(1)).cast("bigint").as("size"))
+}

@@ -85,6 +85,65 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** TF-IDF cosine-similar pairs (a < b) over whitespace tokens: candidate
+    * pairs share at least one term with document frequency <= `maxDf`, the
+    * cosine itself is EXACT over every term — the same two-phase shape as
+    * [[ngramJaccardPairs]] (df-capped blocking for the bounded candidate
+    * count, exact scoring over the full sparse vectors for the survivors).
+    *
+    * Conventions pinned for the cross-engine oracle: tf = raw term count,
+    * idf = ln(N / df) with N = number of documents having at least one
+    * non-empty token (so ubiquitous terms weigh 0 and hot terms barely
+    * matter — which is also why the df cap costs little recall here),
+    * empty tokens dropped on both engines.
+    *
+    * Scale shape: everything is keyed on the term or the (a, b) pair —
+    * tf/df/norm are single aggregations, candidate generation only joins
+    * df-capped postings, and the exact-dot join ships each candidate pair
+    * once per SHARED term. N rides the plan as a broadcast 1-row aggregate
+    * (no driver-side count — construction stays job-free).
+    */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                       minCos: Double, maxDf: Int = 1000,
+                       auditDrops: Boolean = false): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val nDocs = tf.agg(count_distinct(col("id")).cast("double").as("n_docs"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val w = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("id"), col("term"), col("df"),
+        (col("tf") * org.apache.spark.sql.functions.log(col("n_docs") / col("df"))).as("w"))
+    val norms = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val blocked = if (maxDf > 0) {
+      if (auditDrops) {
+        val Array(dropped, droppedRows) = dfreq.where(col("df") > maxDf)
+          .agg(count(lit(1)), coalesce(sum("df"), lit(0.0)).cast("long")).head()
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        log.warn(s"tfidfCosinePairs: dropping $dropped terms with df > $maxDf " +
+          s"($droppedRows doc-term rows) from candidate generation")
+      }
+      w.where(col("df") <= maxDf)
+    } else w
+    val cands = blocked.select(col("id"), col("term")).as("x")
+      .join(blocked.select(col("id").as("id2"), col("term")).as("y"), "term")
+      .where(col("id") < col("id2"))
+      .select(col("id").as("a"), col("id2").as("b"))
+      .distinct()
+    val dot = cands
+      .join(w.select(col("id").as("a"), col("term"), col("w").as("wa")), "a")
+      .join(w.select(col("id").as("b"), col("term"), col("w").as("wb")), Seq("b", "term"))
+      .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("dot"))
+    dot
+      .join(norms.select(col("id").as("a"), col("nrm").as("na")), "a")
+      .join(norms.select(col("id").as("b"), col("nrm").as("nb")), "b")
+      .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+      .where(col("cosine") >= minCos)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+
   /** (a_i, b_i) coefficients for the portable MinHash family — literal so
     * the DuckDB oracle twin uses the identical family.
     */

@@ -20,6 +20,30 @@ object EventOps {
     */
   def epochMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
 
+  /** Trailing time-range window features: for every row, count / sum / mean
+    * of `valueCol` over the same key's rows in [ts - windowSeconds, ts]
+    * (inclusive both ends — `rangeBetween` and DuckDB's `RANGE BETWEEN x
+    * PRECEDING AND CURRENT ROW` both include the frame bounds). Appends
+    * `roll_cnt`, `roll_sum`, `roll_mean`.
+    *
+    * The frame is a RANGE frame over epoch micros, so simultaneous events
+    * (exact-ts ties) all see the full tie group — deterministic without an
+    * intra-ts ordering. One shuffle on the key; each key is one ordered
+    * scan. Scale note: a window cannot be salted (the frame is
+    * order-dependent), so a pathologically hot key serializes on one task —
+    * the standard mitigation is upstream per-entity partitioning (user ids
+    * are high-cardinality by construction) rather than a plan change.
+    */
+  def rollingWindow(df: DataFrame, keyCol: String, tsCol: String,
+                    windowSeconds: Long, valueCol: String): DataFrame = {
+    require(windowSeconds >= 0, "windowSeconds must be >= 0")
+    val w = Window.partitionBy(keyCol).orderBy(epochMicros(col(tsCol)))
+      .rangeBetween(-windowSeconds * 1000000L, Window.currentRow)
+    df.withColumn("roll_cnt", count(lit(1)).over(w).cast("bigint"))
+      .withColumn("roll_sum", sum(col(valueCol)).over(w))
+      .withColumn("roll_mean", avg(col(valueCol)).over(w))
+  }
+
   /** As-of join: for every left row, the single most recent right row of
     * the same `keyCol` with `right.tsCol <= left.tsCol` (backward as-of,
     * the market-data/attribution semantics; DuckDB's `ASOF JOIN` — which

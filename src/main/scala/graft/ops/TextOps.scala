@@ -214,4 +214,34 @@ object TextOps {
       .where(col("rank") <= k)
       .select(col("grp").as(byCol), col("gram"), col("cnt"), col("rank"))
   }
+
+  /** Inverted index over whitespace tokens: one row per surviving term with
+    * document frequency `df`, total term frequency `ttf`, and `postings` —
+    * the (doc, tf) list sorted by doc id (struct sort orders by the first
+    * field). Empty tokens are dropped.
+    *
+    * `maxDf` is the stop-term guard, and it binds BEFORE any posting array
+    * exists: df is computed as a plain count aggregation, hot terms are
+    * filtered out of the (term, doc, tf) rows, and only then does
+    * collect_list build arrays — so a stopword shared by 10⁹ documents
+    * costs one counter, never a 10⁹-element aggregation buffer. That
+    * ordering is what makes index construction survive a web corpus; a
+    * production variant additionally shards the survivors' postings by
+    * (term, doc_bucket), which composes with this plan unchanged.
+    * `maxDf <= 0` disables the guard (test scale only).
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxDf: Int = 10000): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("term")
+      .agg(count(lit(1)).cast("bigint").as("df"), sum("tf").cast("bigint").as("ttf"))
+    val kept = if (maxDf > 0) stats.where(col("df") <= maxDf) else stats
+    tf.join(kept, "term")
+      .groupBy("term", "df", "ttf")
+      .agg(sort_array(collect_list(struct(col("doc"), col("tf")))).as("postings"))
+      .select("term", "df", "ttf", "postings")
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algo.{Bfs, ConnectedComponents, KCore, PageRank}
+import graft.algo.{Bfs, ConnectedComponents, KCore, LabelPropagation, PageRank}
 import graft.graph.GraphTables
 import graft.sources.NTriples
 import QueryUtil._
@@ -95,7 +95,34 @@ object AlgoQueries {
        |FROM core""".stripMargin
   }
 
+  /** Unrolled synchronous label propagation l0..lN
+    * (graft.algo.LabelPropagation.runFixed): per round count neighbor
+    * labels, keep the (count DESC, label ASC) winner per vertex.
+    */
+  private def lpaSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT v AS vertex, community FROM (
+         |    SELECT n.v, l.community, count(*) AS c,
+         |           row_number() OVER (PARTITION BY n.v
+         |             ORDER BY count(*) DESC, l.community ASC) AS rn
+         |    FROM nbrs n JOIN l${k - 1} l ON l.vertex = n.u
+         |    GROUP BY n.v, l.community) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$smallCte,
+       |nbrs AS MATERIALIZED (
+       |  SELECT src AS v, dst AS u FROM ge WHERE src <> dst
+       |  UNION ALL SELECT dst, src FROM ge WHERE src <> dst),
+       |l0 AS MATERIALIZED (SELECT DISTINCT v AS vertex, v AS community FROM nbrs),
+       |$steps
+       |SELECT vertex, community FROM l$iters ORDER BY vertex""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_lpa" -> ((s, dir) =>
+      LabelPropagation.runFixed(smallEdges(s, dir), iters = 5).orderBy("vertex")),
+
     "kg_cc" -> ((s, dir) =>
       ConnectedComponents.componentSizes(ConnectedComponents.run(smallEdges(s, dir)))
         .orderBy("component")),
@@ -193,6 +220,8 @@ object AlgoQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "kg_lpa" -> lpaSql(5),
+
     "kg_cc" ->
       s"""$smallCte,
          |ue AS (SELECT src AS a, dst AS b FROM ge UNION SELECT dst, src FROM ge),

@@ -69,6 +69,20 @@ object EventQueries {
         sum("dur_us").cast("bigint").as("total_duration_us"),
         sum(col("user_id") * (col("session_idx") + 1))
           .cast("bigint").as("session_checksum"))
+    }),
+
+    "ev_rolling" -> ((s, dir) => {
+      // trailing 10-minute per-user window; the rolled value is an integer
+      // (event_id % 97) so every aggregate below is exact on both engines
+      val ev = events(s, dir).withColumn("v", col("event_id") % 97)
+      val r = EventOps.rollingWindow(ev, "user_id", "ts",
+        windowSeconds = 600, valueCol = "v")
+      r.agg(
+        count(lit(1)).cast("bigint").as("n_events"),
+        sum("roll_cnt").cast("bigint").as("sum_roll_cnt"),
+        max("roll_cnt").cast("bigint").as("max_roll_cnt"),
+        sum("roll_sum").cast("bigint").as("sum_roll_sum"),
+        sum(col("roll_cnt") * col("event_id")).cast("bigint").as("roll_checksum"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -130,5 +144,23 @@ object EventQueries {
         |       CAST(count(*) FILTER (WHERE n_ev = 1) AS BIGINT) AS singleton_sessions,
         |       CAST(sum(dur_us) AS BIGINT) AS total_duration_us,
         |       CAST(sum(user_id * (session_idx + 1)) AS BIGINT) AS session_checksum
-        |FROM g""".stripMargin)
+        |FROM g""".stripMargin,
+
+    "ev_rolling" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsu, event_id % 97 AS v
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id,
+        |         count(*) OVER w AS roll_cnt,
+        |         sum(v) OVER w AS roll_sum
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+        |               RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW))
+        |SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(roll_cnt) AS BIGINT) AS sum_roll_cnt,
+        |       CAST(max(roll_cnt) AS BIGINT) AS max_roll_cnt,
+        |       CAST(sum(roll_sum) AS BIGINT) AS sum_roll_sum,
+        |       CAST(sum(roll_cnt * event_id) AS BIGINT) AS roll_checksum
+        |FROM r""".stripMargin)
 }

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+import graft.ops.TextOps
+import QueryUtil._
+
+/** Driver-checked queries for the sparse text-retrieval operators: TF-IDF
+  * cosine pairs (df-capped candidate generation, exact scoring) and
+  * inverted-index construction (stop-term guard before any posting array
+  * materializes). Oracles replay the identical tf/idf/posting conventions
+  * in DuckDB over the same documents table.
+  */
+object SearchQueries {
+
+  private def docs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Shared DuckDB tokenization twin of [[TextOps.tokens]] (runs of
+    * spaces, empty tokens dropped).
+    */
+  private val tfCte: String =
+    """toks AS (
+      |  SELECT doc_id AS doc, t.term
+      |  FROM documents, unnest(string_split_regex(text, ' +')) AS t(term)
+      |  WHERE t.term <> ''),
+      |tf AS (SELECT term, doc, count(*) AS tf FROM toks GROUP BY 1, 2)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_tfidf_sim" -> ((s, dir) => {
+      // maxDf = 50 exercises the candidate-generation df cap (a tenth of
+      // the 500-doc corpus); the cosine itself is exact over every term
+      val pairs = Dedup.tfidfCosinePairs(docs(s, dir), "doc_id", "text",
+        minCos = 0.0, maxDf = 50)
+      roundDoubles(pairs.agg(
+        count(lit(1)).cast("bigint").as("cand_pairs"),
+        count(when(col("cosine") >= 0.3, 1)).cast("bigint").as("pairs_ge_03"),
+        coalesce(round(max("cosine"), 6), lit(0.0)).as("max_cosine"),
+        coalesce(sum(when(col("cosine") >= 0.3, col("a") * 31 + col("b"))), lit(0L))
+          .cast("bigint").as("pair_checksum")))
+    }),
+
+    "doc_inverted_index" -> ((s, dir) => {
+      // maxDf = 390 bites mid-vocabulary at sf0.01 (roughly half the hot
+      // terms dropped by the guard, the survivors carry 300+-entry posting
+      // lists) — both the stop-term path and a substantive posting render
+      val idx = TextOps.invertedIndex(docs(s, dir), "doc_id", "text", maxDf = 390)
+      idx.where(col("df") >= 3)
+        .select(col("term"), col("df"), col("ttf"),
+          concat_ws(",", transform(col("postings"),
+            p => concat(p.getField("doc"), lit(":"), p.getField("tf"))))
+            .as("postings"))
+        .orderBy("term")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "doc_tfidf_sim" ->
+      s"""WITH $tfCte,
+         |n AS (SELECT CAST(count(DISTINCT doc) AS DOUBLE) AS n_docs FROM tf),
+         |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |w AS (
+         |  SELECT tf.doc AS id, tf.term, dfreq.df,
+         |         tf.tf * ln((SELECT n_docs FROM n) / dfreq.df) AS w
+         |  FROM tf JOIN dfreq USING (term)),
+         |norms AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+         |blocked AS (SELECT id, term FROM w WHERE df <= 50),
+         |cands AS (
+         |  SELECT DISTINCT x.id AS a, y.id AS b
+         |  FROM blocked x JOIN blocked y
+         |    ON x.term = y.term AND x.id < y.id),
+         |dot AS (
+         |  SELECT c.a, c.b, sum(wa.w * wb.w) AS dot
+         |  FROM cands c
+         |  JOIN w wa ON wa.id = c.a
+         |  JOIN w wb ON wb.id = c.b AND wb.term = wa.term
+         |  GROUP BY 1, 2),
+         |cos AS (
+         |  SELECT d.a, d.b, d.dot / (na.nrm * nb.nrm) AS cosine
+         |  FROM dot d JOIN norms na ON na.id = d.a JOIN norms nb ON nb.id = d.b)
+         |SELECT CAST(count(*) AS BIGINT) AS cand_pairs,
+         |       CAST(count(*) FILTER (WHERE cosine >= 0.3) AS BIGINT) AS pairs_ge_03,
+         |       CAST(coalesce(round(max(cosine), 6), 0.0) AS DOUBLE) AS max_cosine,
+         |       CAST(coalesce(sum(a * 31 + b) FILTER (WHERE cosine >= 0.3), 0) AS BIGINT)
+         |         AS pair_checksum
+         |FROM cos""".stripMargin,
+
+    "doc_inverted_index" ->
+      s"""WITH $tfCte,
+         |stats AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+         |  FROM tf GROUP BY 1)
+         |SELECT s.term, s.df, s.ttf,
+         |       string_agg(tf.doc || ':' || tf.tf, ',' ORDER BY tf.doc) AS postings
+         |FROM stats s JOIN tf USING (term)
+         |WHERE s.df BETWEEN 3 AND 390
+         |GROUP BY 1, 2, 3 ORDER BY term""".stripMargin,
+  )
+}

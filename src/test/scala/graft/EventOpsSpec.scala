@@ -117,4 +117,33 @@ class EventOpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("rangeJoin") ||
       Option(ex.getCause).exists(_.getMessage.contains("rangeJoin")))
   }
+
+  test("rollingWindow: trailing range frame, inclusive bounds, per-key isolation") {
+    val ev = Seq(
+      (1L, ts(0), 1.0), // cnt 1, sum 1
+      (1L, ts(30), 2.0), // [−30..30]: rows 0,30 -> cnt 2, sum 3
+      (1L, ts(61), 4.0), // [1..61]: t=0 is 61s back, OUT; 30,60,61 in -> cnt 3, sum 14
+      (1L, ts(60), 8.0), // [0..60]: all of 0,30,60 -> cnt 3, sum 11
+      (2L, ts(30), 16.0) // other key: alone -> cnt 1
+    ).toDF("user_id", "ts", "v")
+    val got = EventOps.rollingWindow(ev, "user_id", "ts", 60L, "v")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("v")) ->
+        (r.getAs[Long]("roll_cnt"), r.getAs[Double]("roll_sum"))).toMap
+    assert(got((1L, 1.0)) == (1L, 1.0))
+    assert(got((1L, 2.0)) == (2L, 3.0))
+    assert(got((1L, 4.0)) == (3L, 14.0))
+    assert(got((1L, 8.0)) == (3L, 11.0))
+    assert(got((2L, 16.0)) == (1L, 16.0))
+  }
+
+  test("rollingWindow: exact-ts ties are peers — every tie sees the whole group") {
+    val ev = Seq(
+      (1L, ts(0), 1.0), (1L, ts(0), 2.0), (1L, ts(50), 4.0)
+    ).toDF("user_id", "ts", "v")
+    val got = EventOps.rollingWindow(ev, "user_id", "ts", 60L, "v")
+      .collect().map(r => r.getAs[Double]("v") ->
+        (r.getAs[Long]("roll_cnt"), r.getAs[Double]("roll_sum"))).toMap
+    assert(got(1.0) == (2L, 3.0) && got(2.0) == (2L, 3.0))
+    assert(got(4.0) == (3L, 7.0))
+  }
 }

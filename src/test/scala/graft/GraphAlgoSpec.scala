@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.algo.{Bfs, ConnectedComponents, Eigenvector, KCore, PageRank, Triangles}
+import graft.algo.{Bfs, ConnectedComponents, Eigenvector, KCore, LabelPropagation, PageRank, Triangles}
 
 class GraphAlgoSpec extends AnyFunSuite {
   import SparkTestSession.spark
@@ -129,5 +129,29 @@ class GraphAlgoSpec extends AnyFunSuite {
   test("fixture has no triangles") {
     val m = Triangles.clustering(fixtureEdges).head()
     assert(m.getAs[Long]("triangle_count") == 0L)
+  }
+
+  test("LPA: two bridged triangles settle into two communities") {
+    // hand-replayed synchronous recurrence (min-label tie-break):
+    // round 3 reaches {a,b,c}->a, {x,y,z}->c and rounds 4+ are fixpoints
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")).toDF("src", "dst")
+    val got = LabelPropagation.runFixed(e, iters = 5).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "c", "y" -> "c", "z" -> "c"))
+    val sizes = LabelPropagation.communitySizes(
+      LabelPropagation.runFixed(e, iters = 5)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("a" -> 3L, "c" -> 3L))
+  }
+
+  test("LPA: parallel edges count with multiplicity; self loops dropped") {
+    // a sees {b, b, "0"}: multiplicity makes b win 2-1 over the
+    // lexicographically smaller "0"; without it the tie would pick "0"
+    val e = Seq(("a", "b"), ("a", "b"), ("a", "0"), ("a", "a")).toDF("src", "dst")
+    val got = LabelPropagation.runFixed(e, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("a") == "b" && got("b") == "a" && got("0") == "a")
   }
 }

@@ -460,4 +460,41 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
+
+  test("tfidf cosine pairs: hand-computed cosine, exact over full vectors") {
+    val d = Seq((1L, "apple banana apple"), (2L, "apple banana"), (3L, "cherry date"))
+      .toDF("doc_id", "text")
+    // N=3; df(apple)=df(banana)=2, idf=ln(1.5); d1=(2,1)*idf, d2=(1,1)*idf
+    // cos(d1,d2) = 3/sqrt(10); d3 shares no term with d1/d2 -> no pair
+    val got = Dedup.tfidfCosinePairs(d, "doc_id", "text", minCos = 0.0, maxDf = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((1L, 2L)))
+    assert(math.abs(got((1L, 2L)) - 3.0 / math.sqrt(10)) < 1e-12)
+  }
+
+  test("tfidf cosine pairs: df cap drops hot terms from candidate generation") {
+    val d = Seq((1L, "apple banana apple"), (2L, "apple banana"), (3L, "cherry date"))
+      .toDF("doc_id", "text")
+    // maxDf=1: apple/banana (df 2) are blocked keys; cherry/date live in one
+    // doc only -> zero candidate pairs even though (1,2) has cosine ~0.95
+    assert(Dedup.tfidfCosinePairs(d, "doc_id", "text",
+      minCos = 0.0, maxDf = 1).count() == 0L)
+  }
+
+  test("inverted index: postings sorted by doc, stop-term guard binds pre-collect") {
+    val d = Seq((1L, "a b a"), (2L, "b c"), (3L, "a")).toDF("doc_id", "text")
+    val idx = TextOps.invertedIndex(d, "doc_id", "text", maxDf = 0).collect()
+      .map { r =>
+        val posts = r.getSeq[org.apache.spark.sql.Row](3)
+          .map(p => (p.getLong(0), p.getLong(1)))
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), posts))
+      }.toMap
+    assert(idx("a") == ((2L, 3L, Seq((1L, 2L), (3L, 1L)))))
+    assert(idx("b") == ((2L, 2L, Seq((1L, 1L), (2L, 1L)))))
+    assert(idx("c") == ((1L, 1L, Seq((2L, 1L)))))
+    // guard: df > 1 terms never reach the posting builder
+    val kept = TextOps.invertedIndex(d, "doc_id", "text", maxDf = 1).collect()
+      .map(_.getString(0)).toSet
+    assert(kept == Set("c"))
+  }
 }
