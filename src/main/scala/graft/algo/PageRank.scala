@@ -79,6 +79,46 @@ object PageRank {
     ranks
   }
 
+  /** Personalized PageRank, fixed iterations: the teleport mass lands only
+    * on `seeds` (uniformly), so ranks measure importance RELATIVE to the
+    * seed set — the standard seeded-entity relevance kernel for KG
+    * construction (rank neighborhoods of known-good entities). Same
+    * unnormalized convention as [[runFixed]]:
+    *   PPR(v) = (1 - d) * p(v) + d * Σ_{(u,v)} PPR(u) / outdeg(u),
+    * p(v) = 1/|seeds| on seeds, 0 elsewhere.
+    *
+    * Plan shape matches [[runFixed]] — one contribs shuffle per iteration
+    * against the cached link table, lineage truncated per round; the base
+    * vector is a column expression, never a driver-side map.
+    */
+  def runPersonalizedFixed(edges: DataFrame, seeds: Seq[String], iters: Int,
+                           damping: Double = 0.85): DataFrame = {
+    require(seeds.nonEmpty, "seeds must be non-empty")
+    val links = edges.select("src", "dst")
+      .join(edges.groupBy("src").agg(count(lit(1)).as("out_deg")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vertices = edges.select(col("src").as("vertex"))
+      .union(edges.select(col("dst").as("vertex")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = when(col("vertex").isInCollection(seeds),
+      lit((1.0 - damping) / seeds.size)).otherwise(lit(0.0))
+    var ranks = vertices.select(col("vertex"), base.as("rank")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = links
+        .join(ranks, links("src") === ranks("vertex"))
+        .groupBy(col("dst").as("vertex"))
+        .agg(sum(col("rank") / col("out_deg")).as("c"))
+      ranks = vertices.join(contribs, Seq("vertex"), "left_outer")
+        .select(col("vertex"),
+          (base + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    links.unpersist(false)
+    vertices.unpersist(false)
+    ranks
+  }
+
   /** (max_pagerank, max_pagerank_vertex) — argmax, ties resolved like lodcc's
     * `>=` scan (`centrality.py:88-98`: later vertex wins) pinned here as
     * greatest vertex id among ties.

@@ -39,9 +39,13 @@ object EventOps {
     require(windowSeconds >= 0, "windowSeconds must be >= 0")
     val w = Window.partitionBy(keyCol).orderBy(epochMicros(col(tsCol)))
       .rangeBetween(-windowSeconds * 1000000L, Window.currentRow)
-    df.withColumn("roll_cnt", count(lit(1)).over(w).cast("bigint"))
-      .withColumn("roll_sum", sum(col(valueCol)).over(w))
-      .withColumn("roll_mean", avg(col(valueCol)).over(w))
+    // one select, one shared spec: chained withColumn calls would each plant
+    // their own Window operator (fresh ordering alias per call defeats
+    // CollapseWindow) — 3x the sort work for the same result
+    df.select(col("*"),
+      count(lit(1)).over(w).cast("bigint").as("roll_cnt"),
+      sum(col(valueCol)).over(w).as("roll_sum"),
+      avg(col(valueCol)).over(w).as("roll_mean"))
   }
 
   /** As-of join: for every left row, the single most recent right row of

@@ -95,6 +95,32 @@ object AlgoQueries {
        |FROM core""".stripMargin
   }
 
+  /** Unrolled personalized-PageRank recurrence (teleport mass only on the
+    * `seeds`, uniform) — graft.algo.PageRank.runPersonalizedFixed.
+    */
+  private def pprSql(iters: Int, seeds: Seq[String], damping: Double = 0.85): String = {
+    val inList = seeds.map(s => s"'$s'").mkString(", ")
+    val baseExpr = (v: String) =>
+      s"CASE WHEN $v IN ($inList) THEN ${(1.0 - damping) / seeds.size} ELSE 0.0 END"
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT v.v AS vertex,
+         |         CAST(${baseExpr("v.v")} + $damping * coalesce(c.s, 0) AS DOUBLE) AS rank
+         |  FROM verts v LEFT JOIN (
+         |    SELECT l.dst AS d, sum(r.rank / l.outd) AS s
+         |    FROM links l JOIN r${k - 1} r ON r.vertex = l.src
+         |    GROUP BY l.dst) c ON c.d = v.v)""".stripMargin
+    }.mkString(",\n")
+    s"""$smallCte,
+       |links AS (
+       |  SELECT e.src, e.dst, o.outd FROM ge e
+       |  JOIN (SELECT src, CAST(count(*) AS DOUBLE) AS outd FROM ge GROUP BY src) o ON o.src = e.src),
+       |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM ge UNION ALL SELECT dst FROM ge) u),
+       |r0 AS (SELECT v AS vertex, CAST(${baseExpr("v")} AS DOUBLE) AS rank FROM verts),
+       |$steps
+       |SELECT vertex, CAST(round(rank, 6) AS DOUBLE) AS rank FROM r$iters ORDER BY vertex""".stripMargin
+  }
+
   /** Unrolled synchronous label propagation l0..lN
     * (graft.algo.LabelPropagation.runFixed): per round count neighbor
     * labels, keep the (count DESC, label ASC) winner per vertex.
@@ -122,6 +148,13 @@ object AlgoQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_lpa" -> ((s, dir) =>
       LabelPropagation.runFixed(smallEdges(s, dir), iters = 5).orderBy("vertex")),
+
+    // personalized PageRank seeded on one customer + one region vertex:
+    // rank mass flows only from the seed neighborhoods
+    "kg_ppr" -> ((s, dir) =>
+      PageRank.runPersonalizedFixed(smallEdges(s, dir), Seq("c1", "r0"), iters = 10)
+        .select(col("vertex"), round(col("rank"), 6).as("rank"))
+        .orderBy("vertex")),
 
     "kg_cc" -> ((s, dir) =>
       ConnectedComponents.componentSizes(ConnectedComponents.run(smallEdges(s, dir)))
@@ -221,6 +254,8 @@ object AlgoQueries {
 
   val oracleSql: Map[String, String] = Map(
     "kg_lpa" -> lpaSql(5),
+
+    "kg_ppr" -> pprSql(10, Seq("c1", "r0")),
 
     "kg_cc" ->
       s"""$smallCte,

@@ -146,6 +146,19 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(sizes == Map("a" -> 3L, "c" -> 3L))
   }
 
+  test("personalized PageRank: mass flows only from the seed, off-path stays 0") {
+    // chain a->b->c with an upstream d->a; seed {a}, d=0.85, 3 iters:
+    // a=0.15 (teleport only), b=0.85*0.15, c=0.85^2*0.15, d=0 (no teleport,
+    // nothing upstream) — hand-replayed fixpoint values
+    val e = Seq(("a", "b"), ("b", "c"), ("d", "a")).toDF("src", "dst")
+    val got = graft.algo.PageRank.runPersonalizedFixed(e, Seq("a"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("a") - 0.15) < 1e-12)
+    assert(math.abs(got("b") - 0.1275) < 1e-12)
+    assert(math.abs(got("c") - 0.108375) < 1e-12)
+    assert(got("d") == 0.0)
+  }
+
   test("LPA: parallel edges count with multiplicity; self loops dropped") {
     // a sees {b, b, "0"}: multiplicity makes b win 2-1 over the
     // lexicographically smaller "0"; without it the tie would pick "0"

@@ -205,4 +205,51 @@ class PlanSpec extends AnyFunSuite {
       docs, "doc_id", "source", Map("s0" -> 0.9), 0.5))
     assert(!strat.contains("Exchange"), strat.take(500))
   }
+
+  test("tfidf pairs: equi-joins only, job-free construction, N is broadcast") {
+    val docs = Seq.tabulate(30)(i => (i.toLong, s"w$i x y z common tail"))
+      .toDF("doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val plan = try {
+      val p = planOf(graft.ops.Dedup.tfidfCosinePairs(docs, "doc_id", "text", 0.5))
+      Thread.sleep(500)
+      assert(jobs.get() == 0, s"plan construction ran ${jobs.get()} Spark job(s)")
+      p
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // the 1-row corpus count must ride the plan as a broadcast, not a collect
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(800))
+  }
+
+  test("rollingWindow: one exchange on the key, a single window pass") {
+    import java.sql.Timestamp
+    val ev = Seq.tabulate(40)(i => (i.toLong % 5, new Timestamp(i * 1000L), i.toDouble))
+      .toDF("user_id", "ts", "v")
+    val plan = planOf(graft.ops.EventOps.rollingWindow(ev, "user_id", "ts", 60L, "v"))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected one shuffle, got $exchanges:\n${plan.take(800)}")
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows == 1, s"expected one window operator, got $windows:\n${plan.take(800)}")
+  }
+
+  test("inverted index: stop-term guard filters before the posting collect") {
+    val docs = Seq.tabulate(30)(i => (i.toLong, s"w$i x common"))
+      .toDF("doc_id", "text")
+    val plan = planOf(graft.ops.TextOps.invertedIndex(docs, "doc_id", "text", maxDf = 5))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // collect_list must sit ABOVE the df-guard join in the plan tree: the
+    // join's equi-key is the term, and no ObjectHashAggregate (the
+    // collect_list operator) may appear below it
+    val joinIdx = plan.indexOf("Join")
+    val collectIdx = plan.indexOf("collect_list")
+    assert(joinIdx >= 0 && collectIdx >= 0 && collectIdx < joinIdx,
+      s"posting collect (at $collectIdx) must be above the guard join (at $joinIdx):\n" +
+        plan.take(1200))
+  }
 }
