@@ -1,0 +1,61 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** HITS (Kleinberg hubs & authorities), fixed-iteration power method — the
+  * natural directed companion to [[Eigenvector]] in lodcc's centrality
+  * family: authority(v) accumulates hub mass over in-edges, hub(u)
+  * accumulates the FRESH authority mass over out-edges, each vector
+  * L2-normalized per half-step (the standard mutual-reinforcement
+  * recurrence). Parallel edges count with multiplicity; vertices without
+  * in-(out-)edges get authority (hub) 0; an all-zero half-step keeps the
+  * raw zeros (degenerate graph) instead of dividing by zero.
+  *
+  * Loop discipline matches [[Eigenvector.runFixed]]: per half-step one
+  * equi-join + aggregation shuffle, the L2 norm folded into the plan as a
+  * crossJoin of a 1-row agg (never a driver-side collect), lineage
+  * truncated with localCheckpoint — the authority frame is checkpointed
+  * because the hub half-step and the iteration output both read it.
+  */
+object Hits {
+
+  def runFixed(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val links = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val vertices = edges.select(col("src").as("vertex"))
+      .union(edges.select(col("dst").as("vertex")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = vertices.count()
+    val init = lit(1.0 / math.sqrt(n.toDouble))
+    var cur = vertices.select(col("vertex"), init.as("auth"), init.as("hub"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val aRaw = links
+        .join(cur.select(col("vertex").as("src"), col("hub")), "src")
+        .groupBy(col("dst").as("vertex")).agg(sum("hub").as("ar"))
+      val aAll = vertices.join(aRaw, Seq("vertex"), "left_outer")
+        .select(col("vertex"), coalesce(col("ar"), lit(0.0)).as("ar"))
+      val aNorm = aAll.agg(sqrt(coalesce(sum(col("ar") * col("ar")), lit(0.0))).as("an"))
+      val auth = aAll.crossJoin(aNorm)
+        .select(col("vertex"),
+          when(col("an") === 0.0, col("ar")).otherwise(col("ar") / col("an")).as("auth"))
+        .localCheckpoint(true)
+      val hRaw = links
+        .join(auth.select(col("vertex").as("dst"), col("auth").as("a2")), "dst")
+        .groupBy(col("src").as("vertex")).agg(sum("a2").as("hr"))
+      val hAll = vertices.join(hRaw, Seq("vertex"), "left_outer")
+        .select(col("vertex"), coalesce(col("hr"), lit(0.0)).as("hr"))
+      val hNorm = hAll.agg(sqrt(coalesce(sum(col("hr") * col("hr")), lit(0.0))).as("hn"))
+      val hub = hAll.crossJoin(hNorm)
+        .select(col("vertex"),
+          when(col("hn") === 0.0, col("hr")).otherwise(col("hr") / col("hn")).as("hub"))
+      cur = auth.join(hub, "vertex").localCheckpoint(true)
+    }
+    links.unpersist(false)
+    vertices.unpersist(false)
+    cur.select("vertex", "auth", "hub")
+  }
+}

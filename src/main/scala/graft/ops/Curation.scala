@@ -281,4 +281,42 @@ object Curation {
       concat(lit(salt), lit(":"), col(strataCol), lit(":"), col(idCol).cast("string"))) % 1000000L
     docs.where(draw < (rate * 1000000L).cast("long"))
   }
+
+  /** Temperature-scaled source mixing (the multilingual/source-balancing
+    * sampler): stratum s with n_s rows gets share q_s = n_s^alpha / Σ n^alpha
+    * of `targetCount`, i.e. per-row keep rate r_s = min(1, targetCount *
+    * q_s / n_s). alpha < 1 flattens the mix — small sources are upsampled
+    * relative to their natural share, the standard temperature trick.
+    * Appends `keep_rate` to the kept rows.
+    *
+    * Fully in-plan: counts are one aggregation, the normalizer rides as a
+    * broadcast 1-row agg, the per-stratum rate table (|strata| rows) is
+    * broadcast back onto the corpus, and the draw is the same deterministic
+    * md5 draw as [[stratifiedSample]] — no driver-side collect, engine- and
+    * cluster-size-portable, monotone in targetCount. alpha = 0.5 keeps the
+    * rate arithmetic on IEEE-exact sqrt, which the DuckDB oracle twin
+    * replays to the same floored 10^6-scale threshold.
+    */
+  def temperatureSample(docs: DataFrame, idCol: String, strataCol: String,
+                        alpha: Double, targetCount: Long,
+                        salt: String = "temp"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
+    require(targetCount >= 0L, "targetCount must be >= 0")
+    val counts = docs.groupBy(strataCol).agg(count(lit(1)).cast("double").as("n_s"))
+    // alpha = 0.5 goes through sqrt, which IEEE 754 requires to be exactly
+    // rounded (pow(x, 0.5) is not) — that makes the rate arithmetic
+    // bit-identical to the oracle engine's sqrt
+    def weight(c: Column): Column =
+      if (alpha == 0.5) sqrt(c) else pow(c, lit(alpha))
+    val z = counts.agg(sum(weight(col("n_s"))).as("z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(col(strataCol),
+        least(lit(1.0),
+          lit(targetCount.toDouble) * weight(col("n_s")) / col("z") / col("n_s"))
+          .as("keep_rate"))
+    val draw = TextOps.portableHash31(
+      concat(lit(salt), lit(":"), col(strataCol), lit(":"), col(idCol).cast("string"))) % 1000000L
+    docs.join(broadcast(rates), strataCol)
+      .where(draw < floor(col("keep_rate") * 1000000L).cast("long"))
+  }
 }

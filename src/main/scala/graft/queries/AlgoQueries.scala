@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algo.{Bfs, ConnectedComponents, KCore, LabelPropagation, PageRank}
+import graft.algo.{Bfs, ConnectedComponents, Hits, KCore, LabelPropagation, PageRank}
 import graft.graph.GraphTables
 import graft.sources.NTriples
 import QueryUtil._
@@ -121,6 +121,42 @@ object AlgoQueries {
        |SELECT vertex, CAST(round(rank, 6) AS DOUBLE) AS rank FROM r$iters ORDER BY vertex""".stripMargin
   }
 
+  /** Unrolled HITS recurrence (graft.algo.Hits.runFixed): per iteration an
+    * authority half-step (sum of hubs over in-edges, L2-normalize) then a
+    * hub half-step over the FRESH authorities.
+    */
+  private def hitsSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""ar$k AS MATERIALIZED (
+         |  SELECT v.v AS vertex, coalesce(x.s, 0) AS ar FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS d, sum(s.hub) AS s
+         |    FROM ge e JOIN s${k - 1} s ON s.vertex = e.src GROUP BY e.dst) x ON x.d = v.v),
+         |an$k AS (SELECT sqrt(coalesce(sum(ar * ar), 0)) AS an FROM ar$k),
+         |a$k AS MATERIALIZED (
+         |  SELECT vertex, CASE WHEN (SELECT an FROM an$k) = 0 THEN ar
+         |    ELSE ar / (SELECT an FROM an$k) END AS auth FROM ar$k),
+         |hr$k AS MATERIALIZED (
+         |  SELECT v.v AS vertex, coalesce(x.s, 0) AS hr FROM verts v LEFT JOIN (
+         |    SELECT e.src AS s2, sum(a.auth) AS s
+         |    FROM ge e JOIN a$k a ON a.vertex = e.dst GROUP BY e.src) x ON x.s2 = v.v),
+         |hn$k AS (SELECT sqrt(coalesce(sum(hr * hr), 0)) AS hn FROM hr$k),
+         |s$k AS MATERIALIZED (
+         |  SELECT a.vertex, a.auth,
+         |         CASE WHEN (SELECT hn FROM hn$k) = 0 THEN h.hr
+         |           ELSE h.hr / (SELECT hn FROM hn$k) END AS hub
+         |  FROM a$k a JOIN hr$k h ON h.vertex = a.vertex)""".stripMargin
+    }.mkString(",\n")
+    s"""$smallCte,
+       |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM ge UNION ALL SELECT dst FROM ge) u),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM verts),
+       |s0 AS (SELECT v AS vertex, 1.0 / sqrt((SELECT c FROM nn)) AS auth,
+       |              1.0 / sqrt((SELECT c FROM nn)) AS hub FROM verts),
+       |$steps
+       |SELECT vertex, CAST(round(auth, 6) AS DOUBLE) AS auth,
+       |       CAST(round(hub, 6) AS DOUBLE) AS hub
+       |FROM s$iters ORDER BY vertex""".stripMargin
+  }
+
   /** Unrolled synchronous label propagation l0..lN
     * (graft.algo.LabelPropagation.runFixed): per round count neighbor
     * labels, keep the (count DESC, label ASC) winner per vertex.
@@ -148,6 +184,12 @@ object AlgoQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_lpa" -> ((s, dir) =>
       LabelPropagation.runFixed(smallEdges(s, dir), iters = 5).orderBy("vertex")),
+
+    "kg_hits" -> ((s, dir) =>
+      Hits.runFixed(smallEdges(s, dir), iters = 8)
+        .select(col("vertex"), round(col("auth"), 6).as("auth"),
+          round(col("hub"), 6).as("hub"))
+        .orderBy("vertex")),
 
     // personalized PageRank seeded on one customer + one region vertex:
     // rank mass flows only from the seed neighborhoods
@@ -256,6 +298,8 @@ object AlgoQueries {
     "kg_lpa" -> lpaSql(5),
 
     "kg_ppr" -> pprSql(10, Seq("c1", "r0")),
+
+    "kg_hits" -> hitsSql(8),
 
     "kg_cc" ->
       s"""$smallCte,

@@ -122,6 +122,26 @@ object CurationQueries {
           coalesce(col("k"), lit(0L)).cast("bigint").as("kept"),
           coalesce(col("kc"), lit(0L)).cast("bigint").as("kept_checksum"))
         .orderBy("source")
+    }),
+
+    "doc_temperature_sample" -> ((s, dir) => {
+      // temperature mixing over the SKEWED lang column (en dominates):
+      // alpha = 0.5 (IEEE-exact sqrt weights), target 100 of 500 docs —
+      // small languages get visibly higher keep rates than en
+      val d = docs(s, dir)
+      val kept = Curation.temperatureSample(d, "doc_id", "lang",
+        alpha = 0.5, targetCount = 100L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("k"), sum("doc_id").as("kc"),
+          max("keep_rate").as("rate"))
+      QueryUtil.roundDoubles(
+        d.groupBy("lang").agg(count(lit(1)).as("total"))
+          .join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("total").cast("bigint").as("total"),
+            coalesce(col("k"), lit(0L)).cast("bigint").as("kept"),
+            coalesce(col("kc"), lit(0L)).cast("bigint").as("kept_checksum"),
+            round(coalesce(col("rate"), lit(0.0)), 6).as("keep_rate"))
+          .orderBy("lang"))
     }))
 
   private val h64 = (e: String) => s"('0x' || substr(md5($e), 1, 15))::BIGINT"
@@ -275,5 +295,27 @@ object CurationQueries {
          |FROM documents d LEFT JOIN k ON k.source = d.source
          |GROUP BY d.source
          |ORDER BY d.source""".stripMargin
-    })
+    },
+
+    "doc_temperature_sample" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_s FROM documents GROUP BY 1),
+         |z AS (SELECT sum(sqrt(n_s)) AS z FROM c),
+         |r AS (
+         |  SELECT lang, least(1.0, 100 * sqrt(n_s) / (SELECT z FROM z) / n_s) AS keep_rate
+         |  FROM c),
+         |kept AS (
+         |  SELECT d.lang, d.doc_id, r.keep_rate
+         |  FROM documents d JOIN r USING (lang)
+         |  WHERE ((${h64("'temp:' || lang || ':' || doc_id")} & 2147483647) % 1000000)
+         |        < CAST(floor(r.keep_rate * 1000000) AS BIGINT)),
+         |k AS (SELECT lang, count(*) AS k, sum(doc_id) AS kc, max(keep_rate) AS rate
+         |      FROM kept GROUP BY 1)
+         |SELECT d.lang,
+         |       CAST(count(*) AS BIGINT) AS total,
+         |       CAST(coalesce(any_value(k.k), 0) AS BIGINT) AS kept,
+         |       CAST(coalesce(any_value(k.kc), 0) AS BIGINT) AS kept_checksum,
+         |       CAST(round(coalesce(any_value(k.rate), 0.0), 6) AS DOUBLE) AS keep_rate
+         |FROM documents d LEFT JOIN k ON k.lang = d.lang
+         |GROUP BY d.lang
+         |ORDER BY d.lang""".stripMargin)
 }

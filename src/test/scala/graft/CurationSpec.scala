@@ -148,4 +148,30 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(k1.subsetOf(wider))
   }
+
+  test("temperatureSample: alpha=0.5 rates, small-source upsampling, cap at 1") {
+    // A: 100 rows, B: 4 rows; sqrt weights 10 and 2, target 12
+    // -> r_A = 12*(10/12)/100 = 0.1, r_B = 12*(2/12)/4 = 0.5
+    val docs = ((0L until 100L).map(i => (i, "A")) ++
+      (100L until 104L).map(i => (i, "B"))).toDF("doc_id", "stratum")
+    val kept = Curation.temperatureSample(docs, "doc_id", "stratum",
+      alpha = 0.5, targetCount = 12L)
+    val rates = kept.select("stratum", "keep_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rates("A") - 0.1) < 1e-12)
+    assert(math.abs(rates("B") - 0.5) < 1e-12)
+    assert(rates("B") > rates("A")) // temperature flattens: small source upsampled
+    // deterministic + monotone in targetCount (nested samples)
+    val k1 = kept.collect().map(_.getAs[Long]("doc_id")).toSet
+    val again = Curation.temperatureSample(docs, "doc_id", "stratum", 0.5, 12L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(k1 == again)
+    val wider = Curation.temperatureSample(docs, "doc_id", "stratum", 0.5, 50L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(k1.subsetOf(wider))
+    // huge target: every rate capped at 1.0, everything kept
+    val all = Curation.temperatureSample(docs, "doc_id", "stratum", 0.5, 100000L)
+    assert(all.count() == 104L)
+    assert(all.select("keep_rate").distinct().collect().map(_.getDouble(0)).toSet == Set(1.0))
+  }
 }

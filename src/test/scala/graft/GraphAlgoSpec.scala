@@ -146,6 +146,26 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(sizes == Map("a" -> 3L, "c" -> 3L))
   }
 
+  test("HITS: star graph fixpoint — sink is the authority, sources the hubs") {
+    // u1 -> v, u2 -> v: auth concentrates on v (1.0), hubs split 1/sqrt(2)
+    val e = Seq(("u1", "v"), ("u2", "v")).toDF("src", "dst")
+    val got = graft.algo.Hits.runFixed(e, iters = 3).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(math.abs(got("v")._1 - 1.0) < 1e-12 && got("v")._2 == 0.0)
+    assert(got("u1")._1 == 0.0 && math.abs(got("u1")._2 - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(got("u2")._1 == 0.0 && math.abs(got("u2")._2 - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("HITS: parallel edges weight the hub with multiplicity") {
+    // u1 -> v twice, u2 -> v once: hubs 2/sqrt(5) and 1/sqrt(5)
+    val e = Seq(("u1", "v"), ("u1", "v"), ("u2", "v")).toDF("src", "dst")
+    val got = graft.algo.Hits.runFixed(e, iters = 3).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(math.abs(got("v")._1 - 1.0) < 1e-12)
+    assert(math.abs(got("u1")._2 - 2.0 / math.sqrt(5)) < 1e-12)
+    assert(math.abs(got("u2")._2 - 1.0 / math.sqrt(5)) < 1e-12)
+  }
+
   test("personalized PageRank: mass flows only from the seed, off-path stays 0") {
     // chain a->b->c with an upstream d->a; seed {a}, d=0.85, 3 iters:
     // a=0.15 (teleport only), b=0.85*0.15, c=0.85^2*0.15, d=0 (no teleport,
