@@ -85,6 +85,29 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Incremental-ingestion dedup: the rows of `docs` that are genuinely
+    * NEW against a prior corpus snapshot — text hash not in `seenHashes`
+    * (a `text_hash` column, e.g. a TableIO snapshot of previous batches'
+    * [[exactGroups]] output) and first occurrence (minimum id) within the
+    * batch itself. Appends `text_hash` so the caller can fold the result
+    * back into the seen-set for the next batch.
+    *
+    * Scale shape: one left-anti equi-join on the hash against the seen
+    * set (shuffle- or broadcast-joined, Spark's choice by size) plus one
+    * min-id aggregation + semi-join for the intra-batch dedup — no sort
+    * buffers, no windows, so a 10⁶-member dup cluster inside one batch
+    * costs one counter, not one task's memory.
+    */
+  def incrementalNew(docs: DataFrame, seenHashes: DataFrame,
+                     idCol: String, textCol: String): DataFrame = {
+    val h = docs.withColumn("text_hash", md5(col(textCol)))
+    val novel = h.join(seenHashes.select("text_hash"), Seq("text_hash"), "left_anti")
+    val firsts = novel.groupBy("text_hash").agg(min(col(idCol)).as("__keep"))
+    novel.join(firsts,
+      novel("text_hash") === firsts("text_hash") && col(idCol) === col("__keep"),
+      "left_semi")
+  }
+
   /** TF-IDF cosine-similar pairs (a < b) over whitespace tokens: candidate
     * pairs share at least one term with document frequency <= `maxDf`, the
     * cosine itself is EXACT over every term — the same two-phase shape as

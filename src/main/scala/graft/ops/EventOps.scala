@@ -48,6 +48,26 @@ object EventOps {
       avg(col(valueCol)).over(w).as("roll_mean"))
   }
 
+  /** Sliding-window aggregation: count / sum of `valueCol` per
+    * epoch-aligned window of `sizeSeconds` sliding by `slideSeconds`
+    * (Spark `window()` semantics: an event at t belongs to every window
+    * with start in (t - size, t] on the slide grid, i.e. size/slide
+    * windows). Returns (window_start, window_end, cnt, sum_v).
+    *
+    * One groupBy shuffle on the window struct; the per-event window fanout
+    * is size/slide rows — bounded and explicit, the streaming-compatible
+    * shape (`readStream` + the identical expression is the stream twin).
+    */
+  def slidingCounts(df: DataFrame, tsCol: String, sizeSeconds: Long,
+                    slideSeconds: Long, valueCol: String): DataFrame = {
+    require(sizeSeconds > 0 && slideSeconds > 0 && sizeSeconds % slideSeconds == 0,
+      "size must be a positive multiple of slide")
+    df.groupBy(window(col(tsCol), s"$sizeSeconds seconds", s"$slideSeconds seconds"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"), sum(col(valueCol)).as("sum_v"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("cnt"), col("sum_v"))
+  }
+
   /** As-of join: for every left row, the single most recent right row of
     * the same `keyCol` with `right.tsCol <= left.tsCol` (backward as-of,
     * the market-data/attribution semantics; DuckDB's `ASOF JOIN` — which

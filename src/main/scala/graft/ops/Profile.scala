@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table profiling ("ANALYZE"-style corpus stats): one long-format row per
+  * (column, metric) over the whole table — the ingestion-health check a
+  * pipeline runs before/after every curation stage (null spikes, cardinality
+  * collapse, length drift all show up here first).
+  *
+  * Metrics: every column gets `n_nulls` and `n_distinct` (exact); numeric
+  * columns add `min` / `max` / `sum`; string columns add `min_len` /
+  * `max_len` / `sum_len` (bytes, octet_length). All values are doubles in
+  * one `(column, metric, value)` table so the shape is schema-stable.
+  *
+  * Scale shape: ONE aggregation job for all non-distinct metrics (a single
+  * wide agg row, unpivoted driver-free with stack), plus one exact
+  * count_distinct per column folded into the same agg (Spark plans
+  * multi-distinct aggs as expand+partial — still a single shuffle pass
+  * of the input, never a per-column scan). At web scale you would swap
+  * exact distinct for approx_count_distinct — one argument change, noted
+  * here because the exact form is what the cross-engine oracle can check.
+  */
+object Profile {
+
+  def summarize(df: DataFrame): DataFrame = {
+    val metrics: Seq[(String, String, Column)] = df.schema.fields.toSeq.flatMap { f =>
+      val c = col(f.name)
+      val base = Seq(
+        (f.name, "n_nulls", count(when(c.isNull, 1)).cast("double")),
+        (f.name, "n_distinct", count_distinct(c).cast("double")))
+      val typed = f.dataType match {
+        case _: NumericType => Seq(
+          (f.name, "min", min(c).cast("double")),
+          (f.name, "max", max(c).cast("double")),
+          (f.name, "sum", sum(c).cast("double")))
+        case StringType => Seq(
+          (f.name, "min_len", min(octet_length(c)).cast("double")),
+          (f.name, "max_len", max(octet_length(c)).cast("double")),
+          (f.name, "sum_len", sum(octet_length(c)).cast("double")))
+        case _ => Seq.empty
+      }
+      base ++ typed
+    }
+    val aggs = metrics.zipWithIndex.map { case ((_, _, expr), i) =>
+      coalesce(expr, lit(0.0)).as(s"m$i")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single wide row with stack — no collect, no per-metric job
+    val stackArgs = metrics.zipWithIndex
+      .map { case ((cn, mn, _), i) => s"'$cn', '$mn', m$i" }
+      .mkString(", ")
+    wide.select(expr(
+      s"stack(${metrics.size}, $stackArgs) AS (column_name, metric, value)"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curation, TextOps}
+import graft.ops.{Curation, Dedup, TextOps}
 import QueryUtil.roundDoubles
 
 /** Driver-checked queries for the corpus-curation operators (PII scrub,
@@ -142,9 +142,48 @@ object CurationQueries {
             coalesce(col("kc"), lit(0L)).cast("bigint").as("kept_checksum"),
             round(coalesce(col("rate"), lit(0.0)), 6).as("keep_rate"))
           .orderBy("lang"))
+    }),
+
+    "doc_profile" -> ((s, dir) =>
+      graft.ops.Profile.summarize(docs(s, dir))
+        .orderBy("column_name", "metric")),
+
+    "doc_dedup_incremental" -> ((s, dir) => {
+      // prior snapshot = docs with id < 250 (their exact-hash set); the new
+      // batch = the rest; keep rows novel vs the snapshot AND first-in-batch
+      val d = docs(s, dir)
+      val seen = Dedup.exactGroups(d.where(col("doc_id") < 250), "doc_id", "text")
+        .select("text_hash")
+      val newDocs = Dedup.incrementalNew(
+        d.where(col("doc_id") >= 250), seen, "doc_id", "text")
+      newDocs.agg(
+        count(lit(1)).cast("bigint").as("n_new"),
+        count_distinct(col("text_hash")).cast("bigint").as("n_hashes"),
+        sum("doc_id").cast("bigint").as("id_checksum"),
+        sum(octet_length(col("text"))).cast("bigint").as("byte_checksum"))
     }))
 
   private val h64 = (e: String) => s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** DuckDB twin of Profile.summarize over the documents table (one UNION
+    * ALL branch per (column, metric), mirroring the schema-driven metric
+    * set: numeric cols get min/max/sum, string cols get byte lengths).
+    */
+  private val profileSql: String = {
+    def m(c: String, metric: String, valueExpr: String) =
+      s"SELECT '$c' AS column_name, '$metric' AS metric, CAST($valueExpr AS DOUBLE) AS value FROM documents"
+    def base(c: String) = Seq(
+      m(c, "n_nulls", s"count(*) FILTER (WHERE $c IS NULL)"),
+      m(c, "n_distinct", s"count(DISTINCT $c)"))
+    val numeric = Seq("doc_id", "n_chars").flatMap(c => base(c) ++ Seq(
+      m(c, "min", s"min($c)"), m(c, "max", s"max($c)"), m(c, "sum", s"sum($c)")))
+    val strings = Seq("text", "lang", "source").flatMap(c => base(c) ++ Seq(
+      m(c, "min_len", s"min(octet_length(encode($c)))"),
+      m(c, "max_len", s"max(octet_length(encode($c)))"),
+      m(c, "sum_len", s"sum(octet_length(encode($c)))")))
+    (numeric ++ strings).mkString("\nUNION ALL\n") +
+      "\nORDER BY column_name, metric"
+  }
 
   val oracleSql: Map[String, String] = Map(
     "doc_pii" ->
@@ -317,5 +356,24 @@ object CurationQueries {
          |       CAST(round(coalesce(any_value(k.rate), 0.0), 6) AS DOUBLE) AS keep_rate
          |FROM documents d LEFT JOIN k ON k.lang = d.lang
          |GROUP BY d.lang
-         |ORDER BY d.lang""".stripMargin)
+         |ORDER BY d.lang""".stripMargin,
+
+    "doc_profile" -> profileSql,
+
+    "doc_dedup_incremental" ->
+      """WITH seen AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, text, md5(text) AS h FROM documents WHERE doc_id >= 250),
+        |novel AS (
+        |  SELECT b.* FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.h = b.h)),
+        |firsts AS (SELECT h, min(doc_id) AS k FROM novel GROUP BY 1),
+        |kept AS (
+        |  SELECT n.* FROM novel n JOIN firsts f ON f.h = n.h AND n.doc_id = f.k)
+        |SELECT CAST(count(*) AS BIGINT) AS n_new,
+        |       CAST(count(DISTINCT h) AS BIGINT) AS n_hashes,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS byte_checksum
+        |FROM kept""".stripMargin)
 }

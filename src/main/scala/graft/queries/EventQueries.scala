@@ -83,6 +83,17 @@ object EventQueries {
         max("roll_cnt").cast("bigint").as("max_roll_cnt"),
         sum("roll_sum").cast("bigint").as("sum_roll_sum"),
         sum(col("roll_cnt") * col("event_id")).cast("bigint").as("roll_checksum"))
+    }),
+
+    "ev_sliding" -> ((s, dir) => {
+      // 10-minute windows sliding by 5 — every event lands in exactly two
+      // epoch-aligned windows; integer value so sums are engine-exact
+      val ev = events(s, dir).withColumn("v", col("event_id") % 91)
+      EventOps.slidingCounts(ev, "ts", sizeSeconds = 600, slideSeconds = 300,
+        valueCol = "v")
+        .select((EventOps.epochMicros(col("window_start"))).as("ws_us"),
+          col("cnt"), col("sum_v").cast("bigint").as("sum_v"))
+        .orderBy("ws_us")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -162,5 +173,16 @@ object EventQueries {
         |       CAST(max(roll_cnt) AS BIGINT) AS max_roll_cnt,
         |       CAST(sum(roll_sum) AS BIGINT) AS sum_roll_sum,
         |       CAST(sum(roll_cnt * event_id) AS BIGINT) AS roll_checksum
-        |FROM r""".stripMargin)
+        |FROM r""".stripMargin,
+
+    "ev_sliding" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) AS t, event_id % 91 AS v FROM events),
+        |cand AS (
+        |  SELECT (t // 300000000) * 300000000 AS ws, v FROM ev
+        |  UNION ALL
+        |  SELECT (t // 300000000) * 300000000 - 300000000 AS ws, v FROM ev)
+        |SELECT ws AS ws_us, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM cand GROUP BY ws ORDER BY ws""".stripMargin)
 }

@@ -118,6 +118,17 @@ class EventOpsSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("rangeJoin")))
   }
 
+  test("slidingCounts: every event in size/slide epoch-aligned windows") {
+    // size 600 slide 300: t=0 -> windows starting -300 and 0; t=400 -> 0
+    // and 300; t=650 -> 300 and 600
+    val ev = Seq((ts(0), 1L), (ts(400), 2L), (ts(650), 4L)).toDF("ts", "v")
+    val byStart = EventOps.slidingCounts(ev, "ts", 600L, 300L, "v")
+      .select((col("window_start").cast("long")).as("s"), col("cnt"), col("sum_v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getAs[Long]("sum_v")))).toMap
+    assert(byStart == Map(-300L -> ((1L, 1L)), 0L -> ((2L, 3L)),
+      300L -> ((2L, 6L)), 600L -> ((1L, 4L))))
+  }
+
   test("rollingWindow: trailing range frame, inclusive bounds, per-key isolation") {
     val ev = Seq(
       (1L, ts(0), 1.0), // cnt 1, sum 1

@@ -461,6 +461,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
 
+  test("profile summarize: schema-driven metrics, nulls counted not aggregated") {
+    val d = Seq((1L, Some("ab")), (2L, Some("xyz")), (3L, None))
+      .toDF("id", "s")
+    val got = graft.ops.Profile.summarize(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("id", "n_nulls")) == 0.0 && got(("id", "n_distinct")) == 3.0)
+    assert(got(("id", "min")) == 1.0 && got(("id", "max")) == 3.0 && got(("id", "sum")) == 6.0)
+    assert(got(("s", "n_nulls")) == 1.0 && got(("s", "n_distinct")) == 2.0)
+    assert(got(("s", "min_len")) == 2.0 && got(("s", "max_len")) == 3.0)
+    assert(got(("s", "sum_len")) == 5.0) // nulls contribute nothing
+    assert(got.size == 10)
+  }
+
+  test("incrementalNew: novel-vs-snapshot plus first-in-batch, hash appended") {
+    val seen = Seq(Tuple1("a")).toDF("text")
+      .select(md5(col("text")).as("text_hash"))
+    val batch = Seq((10L, "a"), (11L, "b"), (12L, "b"), (13L, "c"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNew(batch, seen, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(got == Map(11L -> "b", 13L -> "c"))
+  }
+
   test("tfidf cosine pairs: hand-computed cosine, exact over full vectors") {
     val d = Seq((1L, "apple banana apple"), (2L, "apple banana"), (3L, "cherry date"))
       .toDF("doc_id", "text")
