@@ -163,6 +163,29 @@ object Curation {
         col("value").cast("double").as("value"))
   }
 
+  /** Per-group winsorization (outlier clipping): clip `valCol` to the
+    * [`lo`, `hi`] quantiles of its own `byCol` group — the standard tail
+    * trim before length/score features feed a model. Appends `clipped`
+    * (the clipped value) and `was_clipped`. Quantiles come from
+    * [[groupQuantiles]] (same exact/sketch trade: `exact = true` for the
+    * oracle path, the percentile_approx sketch at corpus scale), pivoted
+    * to one (lo, hi) row per group and joined back BROADCAST — groups are
+    * few by construction, so the data side never reshuffles.
+    */
+  def winsorize(df: DataFrame, valCol: String, byCol: String,
+                lo: Double, hi: Double, exact: Boolean = false): DataFrame = {
+    require(lo >= 0.0 && hi <= 1.0 && lo <= hi, "need 0 <= lo <= hi <= 1")
+    val q = groupQuantiles(df, valCol, byCol, Seq(lo, hi), exact)
+      .groupBy(byCol)
+      .agg(min(when(col("prob") === lo, col("value"))).as("__lo"),
+        min(when(col("prob") === hi, col("value"))).as("__hi"))
+    df.join(broadcast(q), byCol)
+      .withColumn("clipped",
+        least(greatest(col(valCol).cast("double"), col("__lo")), col("__hi")))
+      .withColumn("was_clipped", col("clipped") =!= col(valCol).cast("double"))
+      .drop("__lo", "__hi")
+  }
+
   /** Concat-and-chunk sequence packing (the GPT-style pretraining layout):
     * documents are concatenated in `orderCol` order (ties broken by
     * `idCol`) within each `strataCol` group and the resulting token stream

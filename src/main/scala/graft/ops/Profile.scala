@@ -18,18 +18,21 @@ import org.apache.spark.sql.types._
   * wide agg row, unpivoted driver-free with stack), plus one exact
   * count_distinct per column folded into the same agg (Spark plans
   * multi-distinct aggs as expand+partial — still a single shuffle pass
-  * of the input, never a per-column scan). At web scale you would swap
-  * exact distinct for approx_count_distinct — one argument change, noted
-  * here because the exact form is what the cross-engine oracle can check.
+  * of the input, never a per-column scan). At web scale pass
+  * `approxDistinct = true`: the exact multi-distinct expand becomes one
+  * HLL++ sketch per column — constant memory per column, the 100-TB
+  * default; the exact form is what the cross-engine oracle checks.
   */
 object Profile {
 
-  def summarize(df: DataFrame): DataFrame = {
+  def summarize(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
     val metrics: Seq[(String, String, Column)] = df.schema.fields.toSeq.flatMap { f =>
       val c = col(f.name)
+      val distinct =
+        if (approxDistinct) approx_count_distinct(c) else count_distinct(c)
       val base = Seq(
         (f.name, "n_nulls", count(when(c.isNull, 1)).cast("double")),
-        (f.name, "n_distinct", count_distinct(c).cast("double")))
+        (f.name, "n_distinct", distinct.cast("double")))
       val typed = f.dataType match {
         case _: NumericType => Seq(
           (f.name, "min", min(c).cast("double")),

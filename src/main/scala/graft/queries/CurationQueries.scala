@@ -148,6 +148,19 @@ object CurationQueries {
       graft.ops.Profile.summarize(docs(s, dir))
         .orderBy("column_name", "metric")),
 
+    "doc_winsorize" -> ((s, dir) => {
+      // clip n_chars to each language's [p10, p90]; the per-row checksum
+      // scales to integer micro-units so the aggregate is engine-exact
+      val w = Curation.winsorize(docs(s, dir), "n_chars", "lang",
+        lo = 0.1, hi = 0.9, exact = true)
+      w.groupBy("lang").agg(
+        count(lit(1)).cast("bigint").as("n"),
+        count(when(col("was_clipped"), 1)).cast("bigint").as("n_clipped"),
+        sum(round(col("clipped") * 1000000, 0).cast("bigint"))
+          .cast("bigint").as("clip_checksum"))
+        .orderBy("lang")
+    }),
+
     "doc_dedup_incremental" -> ((s, dir) => {
       // prior snapshot = docs with id < 250 (their exact-hash set); the new
       // batch = the rest; keep rows novel vs the snapshot AND first-in-batch
@@ -359,6 +372,21 @@ object CurationQueries {
          |ORDER BY d.lang""".stripMargin,
 
     "doc_profile" -> profileSql,
+
+    "doc_winsorize" ->
+      """WITH q AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.1) AS qlo,
+        |         quantile_cont(n_chars, 0.9) AS qhi
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT d.lang, d.n_chars,
+        |         least(greatest(CAST(d.n_chars AS DOUBLE), q.qlo), q.qhi) AS clipped
+        |  FROM documents d JOIN q USING (lang))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) FILTER (WHERE clipped <> n_chars) AS BIGINT) AS n_clipped,
+        |       CAST(sum(CAST(round(clipped * 1000000, 0) AS BIGINT)) AS BIGINT)
+        |         AS clip_checksum
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "doc_dedup_incremental" ->
       """WITH seen AS (

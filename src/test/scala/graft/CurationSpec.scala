@@ -149,6 +149,19 @@ class CurationSpec extends AnyFunSuite {
     assert(k1.subsetOf(wider))
   }
 
+  test("winsorize: type-7 quantile clip per group, other groups untouched") {
+    // A = 1..10: p10 = 1.9, p90 = 9.1 (type-7 interpolation); B constant
+    val d = ((1 to 10).map(i => (i.toLong, "A")) ++ Seq((100L, "B"), (100L, "B")))
+      .toDF("v", "g")
+    val got = Curation.winsorize(d, "v", "g", 0.1, 0.9, exact = true)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("v")) ->
+        ((r.getAs[Double]("clipped"), r.getAs[Boolean]("was_clipped")))).toMap
+    assert(got(("A", 1L)) == ((1.9, true)))
+    assert(got(("A", 10L)) == ((9.1, true)))
+    assert(got(("A", 5L)) == ((5.0, false)))
+    assert(got(("B", 100L)) == ((100.0, false)))
+  }
+
   test("temperatureSample: alpha=0.5 rates, small-source upsampling, cap at 1") {
     // A: 100 rows, B: 4 rows; sqrt weights 10 and 2, target 12
     // -> r_A = 12*(10/12)/100 = 0.1, r_B = 12*(2/12)/4 = 0.5

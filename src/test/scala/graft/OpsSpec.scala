@@ -474,6 +474,14 @@ class OpsSpec extends AnyFunSuite {
     assert(got.size == 10)
   }
 
+  test("profile summarize: approx distinct within 5% on 1000 distinct keys") {
+    val d = (0L until 1000L).map(i => Tuple1(s"k$i")).toDF("k")
+    val got = graft.ops.Profile.summarize(d, approxDistinct = true).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val est = got(("k", "n_distinct"))
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.05, s"estimate $est")
+  }
+
   test("incrementalNew: novel-vs-snapshot plus first-in-batch, hash appended") {
     val seen = Seq(Tuple1("a")).toDF("text")
       .select(md5(col("text")).as("text_hash"))
