@@ -39,6 +39,30 @@ object Skew {
       .agg(count_distinct(col("value")).as("cnt"))
   }
 
+  /** Salted (replicate-and-split) inner equi-join for a skewed LEFT side:
+    * each left row gets a random salt in [0, saltBuckets); the right side
+    * is replicated once per salt value; the join key becomes (key, salt),
+    * so one hot key's rows land on `saltBuckets` reducers instead of one.
+    * Result is row-identical to `left.join(right, keyCol)` — the salt never
+    * changes which pairs match, only where they execute.
+    *
+    * This is the manual fallback for the cases AQE's skew-join splitting
+    * cannot reach (AQE only splits post-shuffle partitions of sort-merge
+    * joins it planned; a skewed key feeding an iterative kernel's cached
+    * join sidesteps it). Cost: right side shuffled saltBuckets times —
+    * use only when `right` is small-ish but above the broadcast threshold,
+    * the textbook window where neither broadcast nor plain SMJ works.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                 saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    l.join(r, Seq(keyCol, "__salt")).drop("__salt")
+  }
+
   /** Repartition with a salt column appended to the key, so a hot key's rows
     * spread over `saltBuckets` partitions instead of one. Use for map-heavy
     * stages (e.g. extraction over a conversation with millions of turns).

@@ -311,6 +311,20 @@ class OpsSpec extends AnyFunSuite {
     assert(plainD == saltedD)
   }
 
+  test("saltedJoin == plain inner join as a multiset (hot key included)") {
+    // one hot key (900 of 1000 rows) — the case the salt exists for
+    val left = Seq.tabulate(1000)(i =>
+      (if (i < 900) "hot" else "k" + (i % 7), i.toLong)).toDF("k", "lv")
+    val right = Seq(("hot", 1L), ("hot", 2L), ("k1", 3L), ("k2", 4L), ("zz", 5L))
+      .toDF("k", "rv")
+    def bag(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val plain = bag(left.join(right, "k").select("k", "lv", "rv"))
+    val salted = bag(Skew.saltedJoin(left, right, "k", 8).select("k", "lv", "rv"))
+    assert(plain == salted && plain.nonEmpty)
+  }
+
   test("frame sampling: every stride-th complete frame, incomplete tail dropped") {
     import graft.ops.Multimodal
     val media = Seq((1L, "abcdefghij"), (2L, "ab"), (3L, ""))

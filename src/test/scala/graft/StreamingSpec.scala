@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.io.{Transcripts, Triple, Turn}
@@ -99,6 +100,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(win0.length == 1, s"window emitted ${win0.length} times")
       assert(win0.head.getAs[Long]("n") == 2) // the late 100.0 event is NOT counted
       assert(win0.head.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("slidingCounts expression runs unchanged on a streaming source") {
+    // the same EventOps.slidingCounts plan, fed from a stream in complete
+    // mode across two batches, must equal the batch run on the union —
+    // the operator is genuinely streaming-compatible, not batch-only
+    import graft.ops.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long): java.sql.Timestamp = new java.sql.Timestamp(sec * 1000L)
+    val rows = Seq((ts(0), 1L), (ts(400), 2L), (ts(650), 4L), (ts(700), 8L))
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val ev = input.toDS().toDF("ts", "v")
+    val q = EventOps.slidingCounts(ev, "ts", 600L, 300L, "v")
+      .writeStream.format("memory").queryName("ev_sliding_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ev_sliding_stream")
+        .select(col("window_start").cast("long"), col("cnt"), col("sum_v"))
+        .collect().map(_.toSeq).toSet
+      val batch = EventOps.slidingCounts(rows.toDF("ts", "v"), "ts", 600L, 300L, "v")
+        .select(col("window_start").cast("long"), col("cnt"), col("sum_v"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
     } finally q.stop()
   }
 
