@@ -75,6 +75,34 @@ object CoreMeasures {
       max_by(col("vertex"), struct(col("out_deg"), ord)).as("max_out_degree_vertex"))
   }
 
+  /** Degree assortativity: Pearson correlation between the TOTAL degrees
+    * of edge endpoints, every directed edge one sample (parallel edges
+    * each count) — the graph-tool `scalar_assortativity` analog for the
+    * degree vector; r > 0 means hubs link to hubs. Two broadcast-friendly
+    * joins of the degree vector onto the edge list plus one corr()
+    * aggregation — no shuffle wider than the edge list. NaN (degenerate
+    * variance: all endpoint degrees equal) is surfaced as null.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val deg = Degrees.degrees(edges).select(col("vertex"), col("deg"))
+    val samples = edges.select("src", "dst")
+      .join(deg.select(col("vertex").as("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("vertex").as("dst"), col("deg").as("dy")), "dst")
+      .select(col("dx").cast("double").as("x"), col("dy").cast("double").as("y"))
+    // centered two-pass Pearson: the naive n*Σxy − ΣxΣy sums blow past
+    // 2^53 on web-scale edge counts; centered products stay ~n·var. ANSI
+    // mode: try_divide, not corr() — corr THROWS on zero variance, this
+    // returns the null the caller expects for a degree-regular graph
+    val m = samples.agg(avg("x").as("mx"), avg("y").as("my"))
+    samples.crossJoin(broadcast(m))
+      .agg(
+        sum((col("x") - col("mx")) * (col("y") - col("my"))).as("sxy"),
+        sum((col("x") - col("mx")) * (col("x") - col("mx"))).as("sxx"),
+        sum((col("y") - col("my")) * (col("y") - col("my"))).as("syy"))
+      .select(try_divide(col("sxy"), sqrt(col("sxx") * col("syy")))
+        .as("assortativity"))
+  }
+
   /** A14 reciprocity (`edge_based.py:8-13`): fraction of edges (s,t) such
     * that at least one edge (t,s) exists. Semi-join against the distinct
     * reversed pair set; parallel edges each count.

@@ -95,9 +95,20 @@ object KgQueries {
       Degrees.degrees(liEdges(s, dir))
         .groupBy(col("deg").as("degree")).agg(count(lit(1)).as("cnt"))
         .orderBy("degree")),
+
+    "kg_assortativity" -> ((s, dir) =>
+      roundDoubles(CoreMeasures.assortativity(liEdges(s, dir)))),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "kg_assortativity" ->
+      s"""$edgesCte
+         |SELECT CAST(round(corr(CAST(dx.deg AS DOUBLE), CAST(dy.deg AS DOUBLE)), 6) AS DOUBLE)
+         |         AS assortativity
+         |FROM edges e
+         |JOIN degv dx ON dx.vertex = e.src
+         |JOIN degv dy ON dy.vertex = e.dst""".stripMargin,
+
     "kg_basic" ->
       s"""$edgesCte
          |SELECT n.n, m.m,

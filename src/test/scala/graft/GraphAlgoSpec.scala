@@ -146,6 +146,16 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(sizes == Map("a" -> 3L, "c" -> 3L))
   }
 
+  test("assortativity: path graph is perfectly disassortative; constant degrees -> null") {
+    // a->b->c: endpoint-degree samples (1,2),(2,1) -> Pearson r = -1
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val r = graft.measures.CoreMeasures.assortativity(path).head()
+    assert(math.abs(r.getDouble(0) - (-1.0)) < 1e-12)
+    // star: source degrees all 1 (zero variance) -> undefined -> null
+    val star = Seq(("u1", "v"), ("u2", "v"), ("u3", "v")).toDF("src", "dst")
+    assert(graft.measures.CoreMeasures.assortativity(star).head().isNullAt(0))
+  }
+
   test("HITS: star graph fixpoint — sink is the authority, sources the hubs") {
     // u1 -> v, u2 -> v: auth concentrates on v (1.0), hubs split 1/sqrt(2)
     val e = Seq(("u1", "v"), ("u2", "v")).toDF("src", "dst")
