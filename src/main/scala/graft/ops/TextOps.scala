@@ -215,6 +215,41 @@ object TextOps {
       .select(col("grp").as(byCol), col("gram"), col("cnt"), col("rank"))
   }
 
+  /** Token-window chunking (long-document splitting for pretraining/RAG):
+    * one row per (doc, chunk) where chunk i covers tokens [i*stride,
+    * i*stride + chunkTokens) with stride = chunkTokens - overlapTokens.
+    * Chunks start while tokens remain, so the last chunk may be short;
+    * documents shorter than one chunk emit exactly one chunk; empty/
+    * whitespace-only documents emit none. Returns (id, chunk_idx,
+    * n_chunk_tokens, chunk_text).
+    *
+    * Map-only: the token array, chunk index range, and per-chunk slices
+    * are all array expressions inside one projection — no shuffle, no
+    * per-chunk pass over the document. Output volume is
+    * n_tokens/stride rows per doc, linear and explicit.
+    */
+  def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "overlapTokens must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    val t = docs.select(col(idCol),
+      filter(tokens(col(textCol)), x => x =!= "").as("toks"))
+    val n = size(col("toks"))
+    // number of chunks: ceil(max(n - overlap, 0) / stride), min 1 when n > 0
+    val idx = when(n > 0,
+      sequence(lit(0),
+        greatest(((n - 1 - lit(overlapTokens)) / stride).cast("int"), lit(0))))
+      .otherwise(typedlit(Seq.empty[Int]))
+    t.select(col(idCol), posexplode(transform(idx, i =>
+      slice(col("toks"), i * stride + 1, lit(chunkTokens))))
+      .as(Seq("chunk_idx", "chunk_toks")))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("chunk_toks")).as("n_chunk_tokens"),
+        array_join(col("chunk_toks"), " ").as("chunk_text"))
+  }
+
   /** Inverted index over whitespace tokens: one row per surviving term with
     * document frequency `df`, total term frequency `ttf`, and `postings` —
     * the (doc, tf) list sorted by doc id (struct sort orders by the first

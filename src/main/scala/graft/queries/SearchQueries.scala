@@ -54,6 +54,20 @@ object SearchQueries {
             .as("postings"))
         .orderBy("term")
     }),
+
+    "doc_chunks" -> ((s, dir) => {
+      // 128-token windows with 32-token overlap (stride 96) — the RAG /
+      // pretraining long-doc split; checksum pins every chunk's exact text
+      val c = TextOps.chunkByTokens(docs(s, dir), "doc_id", "text",
+        chunkTokens = 128, overlapTokens = 32)
+      c.agg(
+        count(lit(1)).cast("bigint").as("n_chunks"),
+        count_distinct(col("doc_id")).cast("bigint").as("docs_chunked"),
+        max("chunk_idx").cast("bigint").as("max_chunk_idx"),
+        sum("n_chunk_tokens").cast("bigint").as("token_sum"),
+        sum(TextOps.portableHash64(col("chunk_text")) % 1000003L)
+          .cast("bigint").as("chunk_checksum"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -97,5 +111,26 @@ object SearchQueries {
          |FROM stats s JOIN tf USING (term)
          |WHERE s.df BETWEEN 3 AND 390
          |GROUP BY 1, 2, 3 ORDER BY term""".stripMargin,
+
+    "doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS l
+        |  FROM documents),
+        |c AS (
+        |  SELECT t.doc_id, i.i AS chunk_idx,
+        |         array_to_string(t.l[i.i*96+1 : i.i*96+128], ' ') AS chunk_text,
+        |         len(t.l[i.i*96+1 : i.i*96+128]) AS n_chunk_tokens
+        |  FROM t,
+        |       LATERAL unnest(generate_series(0,
+        |         greatest((len(t.l) - 1 - 32) // 96, 0))) AS i(i)
+        |  WHERE len(t.l) > 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_chunked,
+        |       CAST(max(chunk_idx) AS BIGINT) AS max_chunk_idx,
+        |       CAST(sum(n_chunk_tokens) AS BIGINT) AS token_sum,
+        |       CAST(sum(('0x' || substr(md5(chunk_text), 1, 15))::BIGINT % 1000003)
+        |         AS BIGINT) AS chunk_checksum
+        |FROM c""".stripMargin,
   )
 }

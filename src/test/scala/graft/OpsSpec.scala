@@ -526,6 +526,27 @@ class OpsSpec extends AnyFunSuite {
       minCos = 0.0, maxDf = 1).count() == 0L)
   }
 
+  test("chunkByTokens: overlap stride, short-doc single chunk, empty emits none") {
+    val d = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 toks, chunk 4 overlap 1
+      (2L, "a b"), // shorter than one chunk
+      (3L, "") // no tokens
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkByTokens(d, "doc_id", "text", 4, 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getString(3)))).toMap
+    assert(got == Map(
+      (1L, 0) -> ((4, "t0 t1 t2 t3")),
+      (1L, 1) -> ((4, "t3 t4 t5 t6")),
+      (1L, 2) -> ((4, "t6 t7 t8 t9")),
+      (2L, 0) -> ((2, "a b"))))
+    // no overlap: exact partition, short tail kept
+    val nv = TextOps.chunkByTokens(
+      Seq((9L, "a b c d e")).toDF("doc_id", "text"), "doc_id", "text", 2)
+      .collect().map(r => r.getInt(1) -> r.getString(3)).toMap
+    assert(nv == Map(0 -> "a b", 1 -> "c d", 2 -> "e"))
+  }
+
   test("inverted index: postings sorted by doc, stop-term guard binds pre-collect") {
     val d = Seq((1L, "a b a"), (2L, "b c"), (3L, "a")).toDF("doc_id", "text")
     val idx = TextOps.invertedIndex(d, "doc_id", "text", maxDf = 0).collect()

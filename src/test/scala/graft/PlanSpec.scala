@@ -238,6 +238,26 @@ class PlanSpec extends AnyFunSuite {
     assert(windows == 1, s"expected one window operator, got $windows:\n${plan.take(800)}")
   }
 
+  test("temperature sample and winsorize broadcast their per-stratum tables") {
+    val docs = Seq.tabulate(40)(i => (i.toLong, s"s${i % 3}", (i % 7).toLong))
+      .toDF("doc_id", "stratum", "v")
+    // the |strata|-row rate/quantile tables must come back as broadcasts —
+    // the data side never reshuffles on the stratum
+    val temp = planOf(graft.ops.Curation.temperatureSample(
+      docs, "doc_id", "stratum", 0.5, 10L))
+    assert(temp.contains("BroadcastHashJoin"), temp.take(800))
+    val win = planOf(graft.ops.Curation.winsorize(
+      docs, "v", "stratum", 0.1, 0.9, exact = true))
+    assert(win.contains("BroadcastHashJoin"), win.take(800))
+  }
+
+  test("chunkByTokens is map-only (no shuffle, no window)") {
+    val docs = Seq.tabulate(20)(i => (i.toLong, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val plan = planOf(graft.ops.TextOps.chunkByTokens(docs, "doc_id", "text", 4, 1))
+    assert(!plan.contains("Exchange") && !plan.contains("Window"), plan.take(600))
+  }
+
   test("inverted index: stop-term guard filters before the posting collect") {
     val docs = Seq.tabulate(30)(i => (i.toLong, s"w$i x common"))
       .toDF("doc_id", "text")
