@@ -48,6 +48,37 @@ object EventOps {
       avg(col(valueCol)).over(w).as("roll_mean"))
   }
 
+  /** Funnel analysis: for an ordered step sequence (event types), the
+    * per-user earliest completion times — one row per user who reached
+    * step 1, with `t_1 .. t_n` epoch-micro columns, null from the first
+    * step the user never reached. Matching is greedy-earliest with
+    * STRICTLY increasing timestamps (an equal-ts event does not advance
+    * the funnel); greedy is complete — if any increasing chain exists,
+    * the earliest-first chain exists.
+    *
+    * Scale shape: one filtered aggregation per step, each joined on the
+    * user key against the (shrinking) reached-set — k steps cost k
+    * equi-shuffles over progressively smaller frames, never a per-user
+    * sort or a window over the whole event stream.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    var acc = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("user"))
+      .agg(min(epochMicros(col(tsCol))).as("t_1"))
+    steps.tail.zipWithIndex.foreach { case (s, i) =>
+      val k = i + 1 // previous step index (1-based)
+      val next = events.where(col(typeCol) === s)
+        .select(col(userCol).as("user"), epochMicros(col(tsCol)).as("__ts"))
+        .join(acc.select(col("user"), col(s"t_$k").as("__prev")), "user")
+        .where(col("__ts") > col("__prev"))
+        .groupBy("user").agg(min("__ts").as(s"t_${k + 1}"))
+      acc = acc.join(next, Seq("user"), "left_outer")
+    }
+    acc
+  }
+
   /** Sliding-window aggregation: count / sum of `valueCol` per
     * epoch-aligned window of `sizeSeconds` sliding by `slideSeconds`
     * (Spark `window()` semantics: an event at t belongs to every window

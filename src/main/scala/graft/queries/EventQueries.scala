@@ -85,6 +85,20 @@ object EventQueries {
         sum(col("roll_cnt") * col("event_id")).cast("bigint").as("roll_checksum"))
     }),
 
+    "ev_funnel" -> ((s, dir) => {
+      // view -> click -> purchase conversion over the whole event log
+      val f = EventOps.funnel(events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      f.agg(
+        count(lit(1)).cast("bigint").as("n_step1"),
+        count(col("t_2")).cast("bigint").as("n_step2"),
+        count(col("t_3")).cast("bigint").as("n_step3"),
+        sum(col("t_3") - col("t_1")).cast("bigint").as("span_us_sum"),
+        max(col("t_3") - col("t_1")).cast("bigint").as("span_us_max"),
+        sum(when(col("t_3").isNotNull, col("user"))).cast("bigint")
+          .as("converted_checksum"))
+    }),
+
     "ev_sliding" -> ((s, dir) => {
       // 10-minute windows sliding by 5 — every event lands in exactly two
       // epoch-aligned windows; integer value so sums are engine-exact
@@ -174,6 +188,30 @@ object EventQueries {
         |       CAST(sum(roll_sum) AS BIGINT) AS sum_roll_sum,
         |       CAST(sum(roll_cnt * event_id) AS BIGINT) AS roll_checksum
         |FROM r""".stripMargin,
+
+    "ev_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id AS u, min(epoch_us(ts)) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN s1 ON s1.u = e.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t3
+        |  FROM events e JOIN s2 ON s2.u = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 GROUP BY 1),
+        |f AS (
+        |  SELECT s1.u, s1.t1, s2.t2, s3.t3
+        |  FROM s1 LEFT JOIN s2 ON s2.u = s1.u LEFT JOIN s3 ON s3.u = s1.u)
+        |SELECT CAST(count(*) AS BIGINT) AS n_step1,
+        |       CAST(count(t2) AS BIGINT) AS n_step2,
+        |       CAST(count(t3) AS BIGINT) AS n_step3,
+        |       CAST(sum(t3 - t1) AS BIGINT) AS span_us_sum,
+        |       CAST(max(t3 - t1) AS BIGINT) AS span_us_max,
+        |       CAST(sum(u) FILTER (WHERE t3 IS NOT NULL) AS BIGINT)
+        |         AS converted_checksum
+        |FROM f""".stripMargin,
 
     "ev_sliding" ->
       """WITH ev AS (

@@ -118,6 +118,28 @@ class EventOpsSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("rangeJoin")))
   }
 
+  test("funnel: greedy earliest chain, strict ordering, drop-off nulls") {
+    val ev = Seq(
+      // user 1 completes A->B->C, out of order in the log
+      (1L, ts(50), "C"), (1L, ts(10), "A"), (1L, ts(30), "B"), (1L, ts(5), "B"),
+      // user 2: B at the SAME ts as A — strict > means no advance
+      (2L, ts(10), "A"), (2L, ts(10), "B"),
+      // user 3: A then B, no C
+      (3L, ts(1), "A"), (3L, ts(2), "B"),
+      // user 4: never does A
+      (4L, ts(1), "B"), (4L, ts(2), "C")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventOps.funnel(ev, "user_id", "ts", "event_type", Seq("A", "B", "C"))
+      .collect().map(r => r.getAs[Long]("user") ->
+        ((Option(r.getAs[Any]("t_1")), Option(r.getAs[Any]("t_2")),
+          Option(r.getAs[Any]("t_3"))))).toMap
+    def us(sec: Long) = Some(sec * 1000000L)
+    assert(got(1L) == ((us(10), us(30), us(50)))) // the ts(5) B is before A: skipped
+    assert(got(2L) == ((us(10), None, None)))
+    assert(got(3L) == ((us(1), us(2), None)))
+    assert(!got.contains(4L)) // never reached step 1 -> no row
+  }
+
   test("slidingCounts: every event in size/slide epoch-aligned windows") {
     // size 600 slide 300: t=0 -> windows starting -300 and 0; t=400 -> 0
     // and 300; t=650 -> 300 and 600
