@@ -123,4 +123,34 @@ object GraphTables {
       greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
+
+  /** Bipartite co-occurrence projection: item pairs (a < b) sharing a
+    * context, with the shared-context count as the edge weight — the
+    * entity co-mention graph of KG construction (context = conversation,
+    * item = entity). A context contributes each distinct item once.
+    *
+    * `maxContextDf` is the hub guard, the same blocking-key hygiene as
+    * the dedup family: a context containing d distinct items emits d²/2
+    * pairs, so one 10⁶-entity hub context is a single-key 10¹²-pair
+    * explosion — contexts with more than `maxContextDf` distinct items
+    * are dropped from pair generation entirely (logged recall trade, the
+    * web-scale default). `maxContextDf <= 0` disables the guard (test
+    * scale only). One self-join on the context key, one count per pair;
+    * never an unblocked cross join.
+    */
+  def coOccurrence(pairs: DataFrame, contextCol: String, itemCol: String,
+                   maxContextDf: Int = 1000): DataFrame = {
+    val t = pairs.select(col(contextCol).as("ctx"), col(itemCol).as("item"))
+      .distinct()
+    val blocked = if (maxContextDf > 0) {
+      val hot = t.groupBy("ctx").agg(count(lit(1)).as("d"))
+        .where(col("d") > maxContextDf).select("ctx")
+      t.join(broadcast(hot), Seq("ctx"), "left_anti")
+    } else t
+    blocked.as("x")
+      .join(blocked.select(col("ctx"), col("item").as("item2")).as("y"), "ctx")
+      .where(col("item") < col("item2"))
+      .groupBy(col("item").as("a"), col("item2").as("b"))
+      .agg(count(lit(1)).as("weight"))
+  }
 }

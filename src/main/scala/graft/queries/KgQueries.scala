@@ -98,6 +98,22 @@ object KgQueries {
 
     "kg_assortativity" -> ((s, dir) =>
       roundDoubles(CoreMeasures.assortativity(liEdges(s, dir)))),
+
+    "kg_cooccur" -> ((s, dir) => {
+      // dst-dst co-occurrence via shared src; cap 120 distinct items per
+      // context — inert at sf0.01 (~15 items/src) and binding at sf0.1
+      // (~146 items/src), so cross-scale runs exercise both guard paths
+      val co = graft.graph.GraphTables.coOccurrence(
+        liEdges(s, dir).select(col("src"), col("dst")), "src", "dst",
+        maxContextDf = 120)
+      co.agg(
+        count(lit(1)).cast("bigint").as("n_pairs"),
+        sum("weight").cast("bigint").as("weight_sum"),
+        max("weight").cast("bigint").as("weight_max"),
+        sum(col("weight") *
+          (graft.ops.TextOps.portableHash64(concat(col("a"), lit("|"), col("b")))
+            % 1000003L)).cast("bigint").as("pair_checksum"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -108,6 +124,24 @@ object KgQueries {
          |FROM edges e
          |JOIN degv dx ON dx.vertex = e.src
          |JOIN degv dy ON dy.vertex = e.dst""".stripMargin,
+
+    "kg_cooccur" ->
+      s"""$edgesCte,
+         |t AS (SELECT DISTINCT src AS ctx, dst AS item FROM edges),
+         |hot AS (
+         |  SELECT ctx FROM (SELECT ctx, count(*) AS d FROM t GROUP BY 1) h
+         |  WHERE d > 120),
+         |b AS (SELECT * FROM t WHERE ctx NOT IN (SELECT ctx FROM hot)),
+         |p AS (
+         |  SELECT x.item AS a, y.item AS b2, count(*) AS w
+         |  FROM b x JOIN b y ON x.ctx = y.ctx AND x.item < y.item
+         |  GROUP BY 1, 2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(w) AS BIGINT) AS weight_sum,
+         |       CAST(max(w) AS BIGINT) AS weight_max,
+         |       CAST(sum(w * (('0x' || substr(md5(a || '|' || b2), 1, 15))::BIGINT
+         |         % 1000003)) AS BIGINT) AS pair_checksum
+         |FROM p""".stripMargin,
 
     "kg_basic" ->
       s"""$edgesCte

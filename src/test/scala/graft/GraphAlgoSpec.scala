@@ -146,6 +146,21 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(sizes == Map("a" -> 3L, "c" -> 3L))
   }
 
+  test("coOccurrence: weighted projection, per-context dedup, hub-context guard") {
+    val t = Seq(
+      ("c1", "A"), ("c1", "A"), ("c1", "B"), ("c1", "C"), // A twice: counts once
+      ("c2", "A"), ("c2", "B"),
+      ("c3", "X") // singleton context: no pairs
+    ).toDF("ctx", "item")
+    val got = graft.graph.GraphTables.coOccurrence(t, "ctx", "item", maxContextDf = 0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("A", "B") -> 2L, ("A", "C") -> 1L, ("B", "C") -> 1L))
+    // cap 2: c1 (3 distinct items) is a hub context, dropped from pair gen
+    val capped = graft.graph.GraphTables.coOccurrence(t, "ctx", "item", maxContextDf = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(capped == Map(("A", "B") -> 1L))
+  }
+
   test("assortativity: path graph is perfectly disassortative; constant degrees -> null") {
     // a->b->c: endpoint-degree samples (1,2),(2,1) -> Pearson r = -1
     val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
