@@ -103,6 +103,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: state advances across batches, equals the batch funnel") {
+    import graft.streaming.StreamingFunnel
+    import graft.ops.EventOps
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long): java.sql.Timestamp = new java.sql.Timestamp(sec * 1000L)
+    val b1 = Seq((ts(10), 1L, "A"), (ts(5), 2L, "A"), (ts(6), 2L, "B"))
+    val b2 = Seq((ts(30), 1L, "B"), (ts(50), 1L, "C"), (ts(6), 2L, "C"), (ts(7), 2L, "C"))
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val ev = input.toDS().toDF("ts", "user_id", "event_type")
+    val q = StreamingFunnel.progress(ev, Seq("A", "B", "C"))
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // latest update per user == the user's final funnel position
+      val latest = spark.table("funnel_stream")
+        .groupBy("user").agg(max(struct(col("step"), col("times"))).as("s"))
+        .select(col("user"), col("s.step"), col("s.times")).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Long](2)))).toMap
+      // user 1: A@10, B@30, C@50 across batches; user 2: A@5, B@6, then C@6
+      // is NOT > t_2=6 (strict), C@7 advances
+      assert(latest(1L) == ((3, Seq(10000000L, 30000000L, 50000000L))))
+      assert(latest(2L) == ((3, Seq(5000000L, 6000000L, 7000000L))))
+      // equality with the batch operator on the unioned input
+      val batch = EventOps.funnel((b1 ++ b2).toDF("ts", "user_id", "event_type"),
+        "user_id", "ts", "event_type", Seq("A", "B", "C")).collect()
+        .map(r => r.getAs[Long]("user") ->
+          Seq(r.getAs[Any]("t_1"), r.getAs[Any]("t_2"), r.getAs[Any]("t_3"))
+            .takeWhile(_ != null).map(_.asInstanceOf[Long])).toMap
+      assert(batch.keySet == latest.keySet)
+      batch.foreach { case (u, times) => assert(latest(u)._2 == times) }
+    } finally q.stop()
+  }
+
   test("slidingCounts expression runs unchanged on a streaming source") {
     // the same EventOps.slidingCounts plan, fed from a stream in complete
     // mode across two batches, must equal the batch run on the union —
