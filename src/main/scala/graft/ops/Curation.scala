@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for training-data pipelines: PII detection +
@@ -303,6 +304,42 @@ object Curation {
     val draw = TextOps.portableHash31(
       concat(lit(salt), lit(":"), col(strataCol), lit(":"), col(idCol).cast("string"))) % 1000000L
     docs.where(draw < (rate * 1000000L).cast("long"))
+  }
+
+  /** Deterministic weighted sampling WITHOUT replacement (the
+    * Efraimidis–Spirakis exponential race): each row draws
+    * u in (0, 1) from the md5 hash and competes with key ln(u) / w —
+    * the top-k keys per stratum are a bona-fide weight-proportional
+    * sample (P(i in sample) increases with w_i), reproducible across
+    * runs, engines, and cluster sizes. Requires strictly positive
+    * weights. Appends `samp_key`.
+    *
+    * Top-k per stratum runs as the salted two-phase rank (same shape as
+    * [[TextOps.topNgrams]]): per-(stratum, hash-bucket) row_number keeps
+    * every possible winner, the final per-stratum window ranks only
+    * <= k * buckets survivors — a hot stratum never funnels all its rows
+    * through one window task.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, strataCol: String,
+                     weightCol: String, k: Int, saltBuckets: Int = 64,
+                     salt: String = "wsamp"): DataFrame = {
+    require(k > 0 && saltBuckets > 0, "k and saltBuckets must be positive")
+    val u = (TextOps.portableHash31(
+      concat(lit(salt), lit(":"), col(strataCol), lit(":"), col(idCol).cast("string")))
+      % 1000000L + lit(0.5)) / 1000000.0
+    val keyed = docs
+      .where(col(weightCol) > 0)
+      .withColumn("samp_key", org.apache.spark.sql.functions.log(u) / col(weightCol))
+    val bucket = pmod(TextOps.portableHash31(col(idCol).cast("string")), lit(saltBuckets))
+    val perBucket = Window.partitionBy(col(strataCol), bucket)
+      .orderBy(col("samp_key").desc, col(idCol).asc)
+    val survivors = keyed
+      .withColumn("__r", row_number().over(perBucket)).where(col("__r") <= k)
+    val finalW = Window.partitionBy(col(strataCol))
+      .orderBy(col("samp_key").desc, col(idCol).asc)
+    survivors
+      .withColumn("__rank", row_number().over(finalW)).where(col("__rank") <= k)
+      .drop("__r", "__rank")
   }
 
   /** Temperature-scaled source mixing (the multilingual/source-balancing

@@ -148,6 +148,17 @@ object CurationQueries {
       graft.ops.Profile.summarize(docs(s, dir))
         .orderBy("column_name", "metric")),
 
+    "doc_weighted_sample" -> ((s, dir) => {
+      // length-weighted A-ES: 20 docs per language, longer docs favored
+      val w = Curation.weightedSample(docs(s, dir), "doc_id", "lang",
+        "n_chars", k = 20)
+      w.groupBy("lang").agg(
+        count(lit(1)).cast("bigint").as("n_kept"),
+        sum("doc_id").cast("bigint").as("id_checksum"),
+        sum("n_chars").cast("bigint").as("char_sum"))
+        .orderBy("lang")
+    }),
+
     "doc_winsorize" -> ((s, dir) => {
       // clip n_chars to each language's [p10, p90]; the per-row checksum
       // scales to integer micro-units so the aggregate is engine-exact
@@ -372,6 +383,21 @@ object CurationQueries {
          |ORDER BY d.lang""".stripMargin,
 
     "doc_profile" -> profileSql,
+
+    "doc_weighted_sample" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         ln((((${h64("'wsamp:' || lang || ':' || doc_id")} & 2147483647)
+         |              % 1000000) + 0.5) / 1000000.0) / n_chars AS samp_key
+         |  FROM documents WHERE n_chars > 0),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY lang ORDER BY samp_key DESC, doc_id ASC) AS rk
+         |  FROM w)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+         |       CAST(sum(n_chars) AS BIGINT) AS char_sum
+         |FROM r WHERE rk <= 20 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "doc_winsorize" ->
       """WITH q AS (

@@ -149,6 +149,27 @@ class CurationSpec extends AnyFunSuite {
     assert(k1.subsetOf(wider))
   }
 
+  test("weightedSample: deterministic A-ES top-k, salt-phase invariant, weight pull") {
+    val docs = (0L until 1000L).map(i =>
+      (i, "s", if (i < 100) 10.0 else 0.1)).toDF("doc_id", "stratum", "w")
+    val a = Curation.weightedSample(docs, "doc_id", "stratum", "w", k = 100)
+      .collect().map(_.getLong(0)).toSet
+    val b = Curation.weightedSample(docs, "doc_id", "stratum", "w", k = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 100) // deterministic, exact size
+    // two-phase pruning is lossless: 1 bucket == 64 buckets
+    val single = Curation.weightedSample(docs, "doc_id", "stratum", "w",
+      k = 100, saltBuckets = 1).collect().map(_.getLong(0)).toSet
+    assert(a == single)
+    // 100 heavy rows at 100x weight: nearly all must be sampled
+    assert(a.count(_ < 100L) > 80, s"heavy rows in sample: ${a.count(_ < 100L)}")
+    // non-positive weights never sampled
+    val withZero = docs.withColumn("w",
+      when(col("doc_id") === 0L, 0.0).otherwise(col("w")))
+    assert(!Curation.weightedSample(withZero, "doc_id", "stratum", "w", k = 100)
+      .collect().map(_.getLong(0)).contains(0L))
+  }
+
   test("winsorize: type-7 quantile clip per group, other groups untouched") {
     // A = 1..10: p10 = 1.9, p90 = 9.1 (type-7 interpolation); B constant
     val d = ((1 to 10).map(i => (i.toLong, "A")) ++ Seq((100L, "B"), (100L, "B")))
