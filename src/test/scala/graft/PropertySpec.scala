@@ -162,4 +162,75 @@ class PropertySpec extends AnyFunSuite {
       docs.unpersist(false)
     }
   }
+
+  val eventGen: Gen[List[(Long, Long, String)]] = for {
+    nUsers <- Gen.choose(1, 8)
+    m <- Gen.choose(1, 60)
+    evs <- Gen.listOfN(m, for {
+      u <- Gen.choose(0, nUsers - 1)
+      t <- Gen.choose(0L, 30L)
+      ty <- Gen.oneOf("A", "B", "C")
+    } yield (u.toLong, t, ty))
+  } yield evs
+
+  test("funnel == per-user greedy reference on random event logs") {
+    forAllSeeded(eventGen) { es =>
+      val df = es.map { case (u, t, ty) => (u, new java.sql.Timestamp(t * 1000L), ty) }
+        .toDF("user_id", "ts", "event_type")
+      val got = graft.ops.EventOps
+        .funnel(df, "user_id", "ts", "event_type", Seq("A", "B", "C"))
+        .collect().map(r => r.getAs[Long]("user") ->
+          Seq(Option(r.getAs[Any]("t_1")), Option(r.getAs[Any]("t_2")),
+            Option(r.getAs[Any]("t_3"))).flatten.map(_.asInstanceOf[Long] / 1000000L))
+        .toMap
+      // reference: greedy earliest chain per user, strict increase
+      val expected = es.groupBy(_._1).flatMap { case (u, rows) =>
+        var last = Long.MinValue
+        val times = Seq("A", "B", "C").iterator.map { step =>
+          val cands = rows.collect {
+            case (_, t, ty) if ty == step && (last == Long.MinValue || t > last) => t
+          }
+          if (cands.isEmpty) None else { last = cands.min; Some(last) }
+        }.takeWhile(_.isDefined).flatten.toSeq
+        if (times.isEmpty) None else Some(u -> times)
+      }
+      assert(got == expected)
+    }
+  }
+
+  test("chunking covers the token stream exactly; overlap offsets are pinned") {
+    val textGen = Gen.listOfN(5, Gen.choose(0, 23).map(n =>
+      (0 until n).map(i => s"w$i").mkString(" ")))
+    forAllSeeded(textGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // no overlap: concatenating a doc's chunks reproduces its tokens
+      val whole = graft.ops.TextOps.chunkByTokens(df, "doc_id", "text", 4)
+        .orderBy("doc_id", "chunk_idx")
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getString(3)).filter(_.nonEmpty).mkString(" ")).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = t.split(" +").filter(_.nonEmpty).mkString(" ")
+        if (toks.nonEmpty) assert(whole(i.toLong) == toks) else assert(!whole.contains(i.toLong))
+      }
+      // overlap 1: chunk c starts at token c*3 (stride) for every chunk
+      graft.ops.TextOps.chunkByTokens(df, "doc_id", "text", 4, 1).collect()
+        .foreach { r =>
+          val toks = texts(r.getLong(0).toInt).split(" +").filter(_.nonEmpty)
+          val start = r.getInt(1) * 3
+          assert(r.getString(3) == toks.slice(start, start + 4).mkString(" "))
+        }
+    }
+  }
+
+  test("coOccurrence uncapped weights conserve sum d*(d-1)/2 over contexts") {
+    forAllSeeded(edgeGen) { es =>
+      val t = es.toDF("ctx", "item", "ignore").select("ctx", "item")
+      val co = graft.graph.GraphTables.coOccurrence(t, "ctx", "item", maxContextDf = 0)
+      val total = co.agg(coalesce(sum("weight"), lit(0L))).head().getLong(0)
+      val expected = es.map(e => (e._1, e._2)).distinct.groupBy(_._1)
+        .values.map { g => val d = g.size.toLong; d * (d - 1) / 2 }.sum
+      assert(total == expected)
+    }
+  }
 }
