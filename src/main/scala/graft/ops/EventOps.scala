@@ -48,6 +48,30 @@ object EventOps {
       avg(col(valueCol)).over(w).as("roll_mean"))
   }
 
+  /** Cohort retention: bucket time into `periodSeconds` periods, assign
+    * each user to the cohort of their FIRST active period, and count the
+    * distinct cohort members active at each later offset — one row per
+    * (cohort, offset) with `active_users`. offset 0 is the cohort size by
+    * construction.
+    *
+    * Scale shape: one distinct on (user, period) — the only pass over the
+    * raw stream — then a user-keyed min aggregation and a user-keyed join
+    * back; the final count groups on the tiny (cohort, offset) key space.
+    * Period ids are exact: epoch micros and the period divisor are both
+    * well under 2^53, so the double division truncates to the true floor.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+                periodSeconds: Long): DataFrame = {
+    require(periodSeconds > 0, "periodSeconds must be positive")
+    val p = periodSeconds * 1000000L
+    val ue = events.select(col(userCol).as("user"),
+      (epochMicros(col(tsCol)) / p).cast("long").as("period")).distinct()
+    val cohorts = ue.groupBy("user").agg(min("period").as("cohort"))
+    ue.join(cohorts, "user")
+      .groupBy(col("cohort"), (col("period") - col("cohort")).as("offset"))
+      .agg(count_distinct(col("user")).as("active_users"))
+  }
+
   /** Funnel analysis: for an ordered step sequence (event types), the
     * per-user earliest completion times — one row per user who reached
     * step 1, with `t_1 .. t_n` epoch-micro columns, null from the first

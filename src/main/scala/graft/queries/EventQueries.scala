@@ -85,6 +85,11 @@ object EventQueries {
         sum(col("roll_cnt") * col("event_id")).cast("bigint").as("roll_checksum"))
     }),
 
+    "ev_retention" -> ((s, dir) =>
+      // daily cohorts over the 30-day log: full (cohort, offset) matrix
+      EventOps.retention(events(s, dir), "user_id", "ts", periodSeconds = 86400L)
+        .orderBy("cohort", "offset")),
+
     "ev_funnel" -> ((s, dir) => {
       // view -> click -> purchase conversion over the whole event log
       val f = EventOps.funnel(events(s, dir), "user_id", "ts", "event_type",
@@ -188,6 +193,16 @@ object EventQueries {
         |       CAST(sum(roll_sum) AS BIGINT) AS sum_roll_sum,
         |       CAST(sum(roll_cnt * event_id) AS BIGINT) AS roll_checksum
         |FROM r""".stripMargin,
+
+    "ev_retention" ->
+      """WITH ue AS (
+        |  SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS period
+        |  FROM events),
+        |c AS (SELECT u, min(period) AS cohort FROM ue GROUP BY 1)
+        |SELECT c.cohort, ue.period - c.cohort AS "offset",
+        |       CAST(count(DISTINCT ue.u) AS BIGINT) AS active_users
+        |FROM ue JOIN c ON c.u = ue.u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ev_funnel" ->
       """WITH s1 AS (

@@ -118,6 +118,22 @@ class EventOpsSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("rangeJoin")))
   }
 
+  test("retention: first-period cohorts, offset counts, period dedup") {
+    // period = 10 s. user 1: periods 0,1,1,3 -> cohort 0, offsets 0,1,3;
+    // user 2: periods 1,3 -> cohort 1, offsets 0,2; user 3: period 3 only
+    val ev = Seq(
+      (1L, ts(2)), (1L, ts(11)), (1L, ts(19)), (1L, ts(33)),
+      (2L, ts(15)), (2L, ts(31)),
+      (3L, ts(35))
+    ).toDF("user_id", "ts")
+    val got = EventOps.retention(ev, "user_id", "ts", periodSeconds = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 2L) -> 1L,
+      (3L, 0L) -> 1L))
+  }
+
   test("funnel: greedy earliest chain, strict ordering, drop-off nulls") {
     val ev = Seq(
       // user 1 completes A->B->C, out of order in the log
