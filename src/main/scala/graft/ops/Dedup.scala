@@ -129,20 +129,12 @@ object Dedup {
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                        minCos: Double, maxDf: Int = 1000,
                        auditDrops: Boolean = false): DataFrame = {
-    val tf = docs
-      .select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("term"))
-      .where(col("term") =!= "")
-      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
-    val nDocs = tf.agg(count_distinct(col("id")).cast("double").as("n_docs"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val w = tf.join(dfreq, "term")
-      .crossJoin(broadcast(nDocs))
-      .select(col("id"), col("term"), col("df"),
-        (col("tf") * org.apache.spark.sql.functions.log(col("n_docs") / col("df"))).as("w"))
+    val w = TextOps.tfidfWeights(docs, idCol, textCol)
     val norms = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val blocked = if (maxDf > 0) {
       if (auditDrops) {
-        val Array(dropped, droppedRows) = dfreq.where(col("df") > maxDf)
+        val Array(dropped, droppedRows) = w.select("term", "df").distinct()
+          .where(col("df") > maxDf)
           .agg(count(lit(1)), coalesce(sum("df"), lit(0.0)).cast("long")).head()
           .toSeq.map(_.asInstanceOf[Long]).toArray
         log.warn(s"tfidfCosinePairs: dropping $dropped terms with df > $maxDf " +

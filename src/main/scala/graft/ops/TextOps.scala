@@ -215,6 +215,43 @@ object TextOps {
       .select(col("grp").as(byCol), col("gram"), col("cnt"), col("rank"))
   }
 
+  /** Sparse TF-IDF weights: (id, term, df, w) with tf = raw count,
+    * idf = ln(N / df), N = documents with at least one non-empty token —
+    * the convention shared by [[Dedup.tfidfCosinePairs]] and
+    * [[tfidfKeywords]] (and replayed verbatim by their DuckDB twins). N
+    * rides the plan as a broadcast 1-row aggregate; construction is
+    * job-free.
+    */
+  def tfidfWeights(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val nDocs = tf.agg(count_distinct(col("id")).cast("double").as("n_docs"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("id"), col("term"), col("df"),
+        (col("tf") * org.apache.spark.sql.functions.log(col("n_docs") / col("df")))
+          .as("w"))
+  }
+
+  /** TF-IDF keyword extraction: the top-`k` terms per document by weight
+    * (ties broken by term, so ranking is deterministic). A plain per-doc
+    * window — document ids are high-cardinality by construction, so there
+    * is no hot-key to salt (unlike the per-LANGUAGE top-k in
+    * [[topNgrams]]).
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = tfidfWeights(docs, idCol, textCol)
+    val win = Window.partitionBy("id").orderBy(col("w").desc, col("term").asc)
+    w.withColumn("rank", row_number().over(win).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("w"))
+  }
+
   /** Token-window chunking (long-document splitting for pretraining/RAG):
     * one row per (doc, chunk) where chunk i covers tokens [i*stride,
     * i*stride + chunkTokens) with stride = chunkTokens - overlapTokens.

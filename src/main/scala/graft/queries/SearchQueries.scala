@@ -55,6 +55,13 @@ object SearchQueries {
         .orderBy("term")
     }),
 
+    "doc_keywords" -> ((s, dir) =>
+      // top-3 TF-IDF keywords per document, full per-row parity
+      roundDoubles(TextOps.tfidfKeywords(docs(s, dir), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("rank"), col("term"),
+          round(col("w"), 6).as("w"))
+        .orderBy("doc_id", "rank"))),
+
     "doc_chunks" -> ((s, dir) => {
       // 128-token windows with 32-token overlap (stride 96) — the RAG /
       // pretraining long-doc split; checksum pins every chunk's exact text
@@ -111,6 +118,21 @@ object SearchQueries {
          |FROM stats s JOIN tf USING (term)
          |WHERE s.df BETWEEN 3 AND 390
          |GROUP BY 1, 2, 3 ORDER BY term""".stripMargin,
+
+    "doc_keywords" ->
+      s"""WITH $tfCte,
+         |n AS (SELECT CAST(count(DISTINCT doc) AS DOUBLE) AS n_docs FROM tf),
+         |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |w AS (
+         |  SELECT tf.doc AS doc_id, tf.term,
+         |         tf.tf * ln((SELECT n_docs FROM n) / dfreq.df) AS w
+         |  FROM tf JOIN dfreq USING (term)),
+         |r AS (
+         |  SELECT doc_id, term, w, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY w DESC, term ASC) AS rank
+         |  FROM w)
+         |SELECT doc_id, rank, term, CAST(round(w, 6) AS DOUBLE) AS w
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "doc_chunks" ->
       """WITH t AS (

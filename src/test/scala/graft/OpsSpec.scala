@@ -526,6 +526,17 @@ class OpsSpec extends AnyFunSuite {
       minCos = 0.0, maxDf = 1).count() == 0L)
   }
 
+  test("tfidf keywords: idf beats raw frequency, deterministic ranking") {
+    val d = Seq((1L, "apple apple banana"), (2L, "banana cherry"), (3L, "date"))
+      .toDF("doc_id", "text")
+    val got = TextOps.tfidfKeywords(d, "doc_id", "text", k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // d2: cherry (df 1, idf ln3) outweighs the doc's own banana (df 2)
+    assert(got((1L, 1L)) == "apple" && got((1L, 2L)) == "banana")
+    assert(got((2L, 1L)) == "cherry" && got((2L, 2L)) == "banana")
+    assert(got((3L, 1L)) == "date" && !got.contains((3L, 2L)))
+  }
+
   test("chunkByTokens: overlap stride, short-doc single chunk, empty emits none") {
     val d = Seq(
       (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 toks, chunk 4 overlap 1
