@@ -64,4 +64,27 @@ object Triangles {
       (lit(3.0) * col("triangle_count") / col("triplets")).as("global_clustering"),
       col("local_clustering"))
   }
+
+  /** Per-vertex triangle table: (vertex, degree, triangles,
+    * local_clustering) over the simple undirected graph — the full local
+    * coefficient vector behind [[clustering]]'s vertex_average (lodcc
+    * reports the mean; this exposes the distribution the plots bucket).
+    * Same compact-forward core, one extra explode + groupBy on the
+    * triangle list.
+    */
+  def perVertex(edges: DataFrame): DataFrame = {
+    val simple = GraphTables.simpleUndirected(edges)
+    val deg = simple.select(col("a").as("v")).union(simple.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val pv = triangles(edges)
+      .select(explode(array(col("u"), col("v"), col("w"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    deg.join(pv, Seq("v"), "left_outer")
+      .select(col("v").as("vertex"),
+        col("d").cast("bigint").as("degree"),
+        coalesce(col("t"), lit(0L)).cast("bigint").as("triangles"),
+        when(col("d") >= 2,
+          lit(2.0) * coalesce(col("t"), lit(0L)) / (col("d") * (col("d") - 1)))
+          .otherwise(lit(0.0)).as("local_clustering"))
+  }
 }

@@ -71,35 +71,59 @@ object GraphQueries2 {
         .select(col("triangle_count"),
           round(col("global_clustering"), 6).as("global_clustering"),
           round(col("local_clustering"), 6).as("local_clustering"))),
+
+    // full per-vertex local-clustering vector (the distribution behind
+    // lodcc's vertex_average mean), 4096-row parity
+    "kg_local_clustering" -> ((s, dir) =>
+      Triangles.perVertex(liEdges(s, dir))
+        .select(col("vertex"), col("degree"), col("triangles"),
+          round(col("local_clustering"), 6).as("local_clustering"))
+        .orderBy("vertex")),
   )
+
+  /** Shared compact-forward triangle CTE chain (simple undirected graph,
+    * degree-ordered orientation, triangle list + per-vertex counts).
+    */
+  private val triCte: String =
+    s"""$edgesCte,
+       |simple AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |           FROM edges WHERE src <> dst),
+       |sdeg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+       |         FROM (SELECT a AS v FROM simple UNION ALL SELECT b FROM simple) u GROUP BY v),
+       |oriented AS (
+       |  SELECT CASE WHEN (da.d, s.a) < (db.d, s.b) THEN s.a ELSE s.b END AS lo,
+       |         CASE WHEN (da.d, s.a) < (db.d, s.b) THEN s.b ELSE s.a END AS hi,
+       |         CASE WHEN (da.d, s.a) < (db.d, s.b) THEN db.d ELSE da.d END AS dhi
+       |  FROM simple s JOIN sdeg da ON da.v = s.a JOIN sdeg db ON db.v = s.b),
+       |tri AS (
+       |  SELECT w.u, w.v, w.w FROM (
+       |    SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+       |    FROM oriented e1 JOIN oriented e2
+       |      ON e1.lo = e2.lo AND (e1.dhi, e1.hi) < (e2.dhi, e2.hi)) w
+       |  WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.lo = w.v AND o.hi = w.w)),
+       |pv AS (SELECT vv AS v, CAST(count(*) AS BIGINT) AS t FROM (
+       |         SELECT u AS vv FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri) q
+       |       GROUP BY vv)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "kg_eigenvector" -> eigenvectorSql(8),
+
+    "kg_local_clustering" ->
+      s"""$triCte
+         |SELECT sd.v AS vertex, sd.d AS degree,
+         |       CAST(coalesce(pv.t, 0) AS BIGINT) AS triangles,
+         |       CAST(round(CASE WHEN sd.d >= 2
+         |         THEN 2.0 * coalesce(pv.t, 0) / (sd.d * (sd.d - 1))
+         |         ELSE 0.0 END, 6) AS DOUBLE) AS local_clustering
+         |FROM sdeg sd LEFT JOIN pv ON pv.v = sd.v
+         |ORDER BY vertex""".stripMargin,
 
     "kg_eigenvector_distribution" -> eigenvectorSql(8, last =>
       s"""SELECT CAST(round(ev, 6) AS DOUBLE) AS ev, CAST(count(*) AS BIGINT) AS cnt
          |FROM $last GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "kg_clustering" ->
-      s"""$edgesCte,
-         |simple AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-         |           FROM edges WHERE src <> dst),
-         |sdeg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
-         |         FROM (SELECT a AS v FROM simple UNION ALL SELECT b FROM simple) u GROUP BY v),
-         |oriented AS (
-         |  SELECT CASE WHEN (da.d, s.a) < (db.d, s.b) THEN s.a ELSE s.b END AS lo,
-         |         CASE WHEN (da.d, s.a) < (db.d, s.b) THEN s.b ELSE s.a END AS hi,
-         |         CASE WHEN (da.d, s.a) < (db.d, s.b) THEN db.d ELSE da.d END AS dhi
-         |  FROM simple s JOIN sdeg da ON da.v = s.a JOIN sdeg db ON db.v = s.b),
-         |tri AS (
-         |  SELECT w.u, w.v, w.w FROM (
-         |    SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
-         |    FROM oriented e1 JOIN oriented e2
-         |      ON e1.lo = e2.lo AND (e1.dhi, e1.hi) < (e2.dhi, e2.hi)) w
-         |  WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.lo = w.v AND o.hi = w.w)),
-         |pv AS (SELECT vv AS v, CAST(count(*) AS BIGINT) AS t FROM (
-         |         SELECT u AS vv FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri) q
-         |       GROUP BY vv),
+      s"""$triCte,
          |localstats AS (
          |  SELECT sum(sd.d * (sd.d - 1) / 2) AS triplets,
          |         avg(CASE WHEN sd.d >= 2

@@ -126,6 +126,18 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(math.abs(m.getAs[Double]("local_clustering") - (1 + 1 + 1.0 / 3) / 4) < 1e-12)
   }
 
+  test("per-vertex triangles: K3 + pendant, exact local coefficients") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")).toDF("src", "dst")
+    val got = Triangles.perVertex(e).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("a") == ((2L, 1L, 1.0)))
+    assert(got("b") == ((2L, 1L, 1.0)))
+    assert(got("c")._1 == 3L && got("c")._2 == 1L &&
+      math.abs(got("c")._3 - 1.0 / 3) < 1e-12)
+    assert(got("d") == ((1L, 0L, 0.0)))
+  }
+
   test("fixture has no triangles") {
     val m = Triangles.clustering(fixtureEdges).head()
     assert(m.getAs[Long]("triangle_count") == 0L)
