@@ -246,4 +246,20 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
   }
+
+  /** Per-group embedding centroids in long form: (group, pos, mean_val, n)
+    * — the embedding-QC primitive (drifted or collapsed clusters show up
+    * as centroid shifts / shrinking dispersion between snapshots).
+    *
+    * Shape: posexplode to (group, pos, value) and aggregate — the dim×
+    * row blow-up is tamed by map-side partial aggregation (each partition
+    * combines down to |groups|·dim cells before the shuffle), which is
+    * also why this beats a driver-side vector fold at corpus scale.
+    */
+  def groupCentroids(embs: DataFrame, vecCol: String, byCol: String): DataFrame =
+    embs.select(col(byCol).as("grp"),
+      posexplode(toDoubleVec(col(vecCol))).as(Seq("pos", "v")))
+      .groupBy("grp", "pos")
+      .agg(avg("v").as("mean_val"), count(lit(1)).cast("bigint").as("n"))
+      .select(col("grp").as(byCol), col("pos"), col("mean_val"), col("n"))
 }

@@ -192,6 +192,13 @@ object DocQueries {
         col("vec_id") < 20, k = 3)
         .orderBy("query_id", "rank")),
 
+    "emb_centroids" -> ((s, dir) =>
+      // per-label centroid vectors in long form (embedding-QC primitive)
+      Similarity.groupCentroids(embs(s, dir), "embedding", "label")
+        .select(col("label"), col("pos"),
+          round(col("mean_val"), 6).as("mean_val"), col("n"))
+        .orderBy("label", "pos")),
+
     "emb_dedup_cosine" -> ((s, dir) => {
       val pairs = Dedup.embeddingCosinePairs(embs(s, dir), "vec_id", "embedding",
         "label", minCos = 0.2)
@@ -568,6 +575,14 @@ object DocQueries {
          |  (SELECT CAST(count(DISTINCT fp) AS BIGINT) FROM fps) AS distinct_fps,
          |  (SELECT CAST(round(avg(c), 6) AS DOUBLE) FROM perdoc) AS avg_fp_per_doc,
          |  (SELECT CAST(max(d) AS BIGINT) FROM sharing) AS max_docs_sharing""".stripMargin,
+
+    "emb_centroids" ->
+      """SELECT label, i.i - 1 AS pos,
+        |       CAST(round(avg(CAST(embedding[i.i] AS DOUBLE)), 6) AS DOUBLE) AS mean_val,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM embeddings,
+        |     LATERAL unnest(generate_series(1, len(embedding))) AS i(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "emb_knn" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

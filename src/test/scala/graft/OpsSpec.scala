@@ -526,6 +526,18 @@ class OpsSpec extends AnyFunSuite {
       minCos = 0.0, maxDf = 1).count() == 0L)
   }
 
+  test("groupCentroids: elementwise mean per group, long form") {
+    val e = Seq(
+      (1L, Array(1.0f, 2.0f), "g"), (2L, Array(3.0f, 6.0f), "g"),
+      (3L, Array(10.0f, 0.0f), "h")
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.groupCentroids(e, "embedding", "label").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("g", 0) -> ((2.0, 2L)), ("g", 1) -> ((4.0, 2L)),
+      ("h", 0) -> ((10.0, 1L)), ("h", 1) -> ((0.0, 1L))))
+  }
+
   test("tfidf keywords: idf beats raw frequency, deterministic ranking") {
     val d = Seq((1L, "apple apple banana"), (2L, "banana cherry"), (3L, "date"))
       .toDF("doc_id", "text")
