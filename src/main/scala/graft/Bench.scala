@@ -5,24 +5,32 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark (driver-run -> BENCH_r{N}.json).
   *
   * Emits ONE bare JSON line on stdout (build.sbt routes forked-run output
-  * past sbt's logger so the line is machine-parseable): the driver-checked
-  * query suite timings on SPARK_GRAFT_SF_DIR, plus the north-rule scaling
-  * evidence — the SAME extraction+materialization job on the SAME
-  * pre-materialized input at two 4x parallelism pairs (2->8 and 8->32
-  * cores), reported as turns/sec per level and efficiency =
-  * (t_N / t_4N) / 4 (BASELINE.md protocol).
+  * past sbt's logger so the line is machine-parseable). ARTIFACT-SIZE
+  * CONTRACT (VERDICT r3 #1): the driver's capture window holds only the
+  * last ~4 KB of output, so the line is kept COMPACT — headline + scaling
+  * keys lead, the per-query map appears exactly ONCE (it IS the min-of-2
+  * estimate; `queries_protocol` says so in-band), and the full audit detail
+  * (both raw passes, every raw scaling run) goes to `BENCH_FULL.json` next
+  * to this repo instead of bloating stdout.
   *
-  * Per-leg configuration scales with the leg, as it would on a real
-  * cluster: shuffle partitions and the extraction repartition are 4x the
-  * core count (r2 pinned 32 everywhere, leaving the 32-core leg one
-  * partition per core with no AQE headroom).
+  * Scaling evidence (north rule, N -> 4N >= 0.8) — two workload shapes:
+  *  - extraction (map-heavy): the transcripts -> triples -> hashed-edges
+  *    job on the same pre-materialized input at 2/8/32 cores;
+  *  - connected components (shuffle-heavy, VERDICT r3 next #5): the
+  *    large-star/small-star CC fixpoint on the pre-materialized edge table
+  *    at 2 vs 8 cores — evidence that >= 0.8 holds for a plan that is
+  *    all shuffle, not just the map-side extraction.
+  * Efficiency = (t_N / t_4N) / 4 on min-of-runs per leg. Per-leg config
+  * scales with the leg (shuffle partitions = 4x cores), as on a real
+  * cluster.
   *
   * Measurement protocol (pre-registered, ADVICE r2): a FIXED schedule of
   * spaced sessions per leg — no conditional stopping, no re-measure loop —
   * with min over the full sample as the capability estimate (the host
   * shows multi-x co-tenant noise spikes; the min of true runs is the
-  * noise-robust capability statistic, and per-leg run counts ship in the
-  * JSON so the estimate is auditable).
+  * noise-robust capability statistic; per-leg run counts ship in the JSON
+  * and the raw run lists ship in BENCH_FULL.json so the estimate is
+  * auditable).
   *
   * The artifact also carries a PURE-JVM cpu probe (no Spark): the same
   * fixed per-thread hash loop at 8 and 32 threads. Its throughput ratio
@@ -49,13 +57,22 @@ object Bench {
     s
   }
 
-  /** The timed job: read turns parquet -> extract triples -> hashed edge
-    * table -> count (forces the full distributed computation).
+  /** Map-heavy timed job: read turns parquet -> extract triples -> hashed
+    * edge table -> count (forces the full distributed computation).
     */
   private def extractionJob(spark: SparkSession, turnsPath: String, cores: Int): Long = {
     val turns = spark.read.parquet(turnsPath)
     val (_, edges) = Pipeline.build(turns, partitions = 4 * cores)
     edges.count()
+  }
+
+  /** Shuffle-heavy timed job: large-star/small-star connected components
+    * to fixpoint over the pre-materialized edge table — every iteration is
+    * a pair of wide shuffles, no map-side escape hatch.
+    */
+  private def ccJob(spark: SparkSession, edgesPath: String): Long = {
+    val edges = spark.read.parquet(edgesPath)
+    graft.algo.ConnectedComponents.run(edges).count()
   }
 
   /** Pure-JVM per-core compression probe: `threads` workers each run the
@@ -87,10 +104,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val benchConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "3000000").toLong
+    val shuffleConvs = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CONVS", "1000000").toLong
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "/root/repo/BENCH_FULL.json")
     val turnsPath = s"/tmp/graft-bench-turns-$benchConvs"
+    val edgesPath = s"/tmp/graft-bench-edges-$shuffleConvs"
 
-    // ---- scaling evidence: same job, same input, 2/8/32 cores -----------
+    // ---- pre-materialize inputs once (not timed) ------------------------
     var nTurns = 0L
+    var nEdges = 0L
     locally {
       val s = newSession(32)
       if (!new java.io.File(turnsPath).exists()) {
@@ -98,34 +120,54 @@ object Bench {
           .write.mode("overwrite").parquet(turnsPath)
       }
       nTurns = s.read.parquet(turnsPath).count()
+      if (!new java.io.File(edgesPath).exists()) {
+        val turns = graft.io.Transcripts.generate(s, shuffleConvs, 64).toDF()
+        val (_, edges) = Pipeline.build(turns, partitions = 64)
+        edges.write.mode("overwrite").parquet(edgesPath)
+      }
+      nEdges = s.read.parquet(edgesPath).count()
       s.stop()
     }
 
-    val runsByCores = scala.collection.mutable.Map[Int, List[Double]]()
+    // ---- scaling evidence: same jobs, same inputs, per-leg sessions -----
+    val extRuns = scala.collection.mutable.Map[Int, List[Double]]()
       .withDefaultValue(Nil)
-    def measure(cores: Int, warm: Int, runs: Int): Unit = {
+    val ccRuns = scala.collection.mutable.Map[Int, List[Double]]()
+      .withDefaultValue(Nil)
+    def measure(cores: Int, warm: Int, runs: Int,
+                sink: scala.collection.mutable.Map[Int, List[Double]],
+                job: (SparkSession, Int) => Long): Unit = {
       val spark = newSession(cores)
-      (1 to warm).foreach(_ => extractionJob(spark, turnsPath, cores)) // discarded
+      (1 to warm).foreach(_ => job(spark, cores)) // discarded
       (1 to runs).foreach { _ =>
         val t0 = System.nanoTime()
-        extractionJob(spark, turnsPath, cores)
-        runsByCores(cores) = ((System.nanoTime() - t0) / 1e9) :: runsByCores(cores)
+        job(spark, cores)
+        sink(cores) = ((System.nanoTime() - t0) / 1e9) :: sink(cores)
       }
       spark.stop()
     }
-    def tmin(cores: Int): Double = runsByCores(cores).min
-    def eff(lo: Int, hi: Int): Double = (tmin(lo) / tmin(hi)) / 4.0
+    def ext(c: Int, w: Int, r: Int) =
+      measure(c, w, r, extRuns, (s, cores) => extractionJob(s, turnsPath, cores))
+    def cc(c: Int, w: Int, r: Int) =
+      measure(c, w, r, ccRuns, (s, _) => ccJob(s, edgesPath))
+    def tmin(m: scala.collection.mutable.Map[Int, List[Double]], c: Int): Double =
+      m(c).min
+    def eff(m: scala.collection.mutable.Map[Int, List[Double]], lo: Int, hi: Int): Double =
+      (tmin(m, lo) / tmin(m, hi)) / 4.0
 
-    // PRE-REGISTERED schedule: 3 spaced sessions per leg, interleaved so
-    // co-tenant noise decorrelates across legs; run counts fixed up front
-    // (p2: 3, p8: 5, p32: 5) and never extended or cut short.
-    val schedule = Seq(
-      (8, 1, 2), (32, 1, 2), (2, 1, 1),
-      (8, 0, 2), (32, 0, 2), (2, 0, 1),
-      (32, 0, 1), (8, 0, 1), (2, 0, 1))
-    schedule.foreach { case (c, w, r) => measure(c, w, r) }
+    // PRE-REGISTERED schedule: spaced sessions per leg, extraction and CC
+    // interleaved so co-tenant noise decorrelates across legs; run counts
+    // fixed up front (ext p2: 3, p8: 5, p32: 5; cc p2: 2, p8: 3) and never
+    // extended or cut short.
+    ext(8, 1, 2); ext(32, 1, 2); ext(2, 1, 1)
+    cc(8, 1, 1); cc(2, 1, 1)
+    ext(8, 0, 2); ext(32, 0, 2); ext(2, 0, 1)
+    cc(8, 0, 1); cc(2, 0, 1)
+    ext(32, 0, 1); ext(8, 0, 1); ext(2, 0, 1)
+    cc(8, 0, 1)
 
-    val (t2, t8, t32) = (tmin(2), tmin(8), tmin(32))
+    val (t2, t8, t32) = (tmin(extRuns, 2), tmin(extRuns, 8), tmin(extRuns, 32))
+    val (c2, c8) = (tmin(ccRuns, 2), tmin(ccRuns, 8))
 
     // host per-core compression ceiling, measured without Spark
     val cpu8 = cpuProbe(8, 3)
@@ -135,9 +177,9 @@ object Bench {
     // ---- driver-checked query suite on sfDir ----------------------------
     // two passes, min per query: the host shows multi-x co-tenant noise on
     // job-launch-heavy (iterative) queries, and pass 2 also removes
-    // first-use codegen/JIT cost from the capability estimate. BOTH passes
-    // ship in the artifact (queries_pass1/queries_pass2/queries_min2) so
-    // the shipped numbers match the protocol.
+    // first-use codegen/JIT cost from the capability estimate. The stdout
+    // line carries the min-of-2 map ONCE (queries_protocol=min_of_2); both
+    // raw passes ship in BENCH_FULL.json.
     val spark = newSession(32)
     def suitePass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -149,31 +191,70 @@ object Bench {
     val p2 = suitePass().toMap
     val results = p1.keys.toSeq.sorted.map(n => n -> math.min(p1(n), p2(n)))
     val total = results.map(_._2).sum
+    // one-line pass-delta summary instead of shipping both maps on stdout
+    val passDeltas = p1.keys.toSeq.sorted.map(n => math.abs(p1(n) - p2(n))).sorted
+    val passDeltaMedian = passDeltas(passDeltas.size / 2)
 
-    def jmap(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    def jnum(v: Double): String = f"$v%.3f"
+    def jmap(kvs: Seq[(String, Double)], prec: String = "%.3f"): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + prec.format(v) }
+        .mkString("{", ",", "}")
+    def jlist(vs: Seq[Double]): String =
+      vs.map(v => f"$v%.3f").mkString("[", ",", "]")
 
-    val qs = jmap(results ++ Seq(
+    val head = Seq(
       "extract_turns_per_sec_p8" -> nTurns / t8,
       "extract_turns_per_sec_p32" -> nTurns / t32,
       "extract_secs_p2" -> t2,
       "extract_secs_p8" -> t8,
       "extract_secs_p32" -> t32,
-      "scaling_efficiency_2_to_8" -> eff(2, 8),
-      "scaling_efficiency_8_to_32" -> eff(8, 32),
-      "scaling_runs_p2" -> runsByCores(2).size.toDouble,
-      "scaling_runs_p8" -> runsByCores(8).size.toDouble,
-      "scaling_runs_p32" -> runsByCores(32).size.toDouble,
+      "scaling_efficiency_2_to_8" -> eff(extRuns, 2, 8),
+      "scaling_efficiency_8_to_32" -> eff(extRuns, 8, 32),
+      "scaling_runs_p2" -> extRuns(2).size.toDouble,
+      "scaling_runs_p8" -> extRuns(8).size.toDouble,
+      "scaling_runs_p32" -> extRuns(32).size.toDouble,
       "scaling_preregistered" -> 1.0,
-      "scaling_valid_2_to_8" -> (if (eff(2, 8) >= 0.8 && eff(2, 8) <= 1.02) 1.0 else 0.0),
+      "scaling_valid_2_to_8" ->
+        (if (eff(extRuns, 2, 8) >= 0.8 && eff(extRuns, 2, 8) <= 1.02) 1.0 else 0.0),
+      "shuffle_secs_p2" -> c2,
+      "shuffle_secs_p8" -> c8,
+      "shuffle_efficiency_2_to_8" -> eff(ccRuns, 2, 8),
+      "shuffle_runs_p2" -> ccRuns(2).size.toDouble,
+      "shuffle_runs_p8" -> ccRuns(8).size.toDouble,
+      "shuffle_valid_2_to_8" ->
+        (if (eff(ccRuns, 2, 8) >= 0.8 && eff(ccRuns, 2, 8) <= 1.02) 1.0 else 0.0),
+      "shuffle_edges" -> nEdges.toDouble,
       "cpu_probe_mops_p8" -> cpu8,
       "cpu_probe_mops_p32" -> cpu32,
       "cpu_ceiling_8_to_32" -> cpuCeiling,
-      "bench_turns" -> nTurns.toDouble))
-    val extra = "\"queries_min2\":" + jmap(results) +
-      ",\"queries_pass1\":" + jmap(p1.toSeq.sortBy(_._1)) +
-      ",\"queries_pass2\":" + jmap(p2.toSeq.sortBy(_._1))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")
+      "bench_turns" -> nTurns.toDouble,
+      "pass_delta_median" -> passDeltaMedian)
+    val headJson = head
+      .map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString(",")
+
+    // compact driver line: headline + scaling keys FIRST, the per-query
+    // min-of-2 map exactly once, total < 4 KB so the captured tail parses
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec"""" +
+      s""","sf":"$sfDir","queries_protocol":"min_of_2",$headJson""" +
+      s""","queries":${jmap(results, "%.2f")}}"""
+
+    // full audit artifact: both raw passes, every raw scaling run
+    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec"""" +
+      s""","sf":"$sfDir",$headJson""" +
+      s""","extract_runs_p2":${jlist(extRuns(2).reverse)}""" +
+      s""","extract_runs_p8":${jlist(extRuns(8).reverse)}""" +
+      s""","extract_runs_p32":${jlist(extRuns(32).reverse)}""" +
+      s""","cc_runs_p2":${jlist(ccRuns(2).reverse)}""" +
+      s""","cc_runs_p8":${jlist(ccRuns(8).reverse)}""" +
+      s""","queries_min2":${jmap(results)}""" +
+      s""","queries_pass1":${jmap(p1.toSeq.sortBy(_._1))}""" +
+      s""","queries_pass2":${jmap(p2.toSeq.sortBy(_._1))}}"""
+    try {
+      val w = new java.io.PrintWriter(fullPath)
+      try w.println(full) finally w.close()
+    } catch { case _: Throwable => () } // stdout line is the contract; the file is audit detail
+
+    println(line)
     spark.stop()
   }
 }

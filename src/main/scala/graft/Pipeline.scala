@@ -47,8 +47,20 @@ object Pipeline {
     * clustering, rdf (the Fernandez block). Vertex-valued outputs
     * (argmax vertices, diameter endpoints) are not representable in the
     * numeric long format — use the dedicated CoreMeasures/PageRank APIs.
+    *
+    * Engine-extra features beyond lodcc's flag set (VERDICT r3 next #9),
+    * same opt-in style: kcore (10-core summary), lpa (community count at 5
+    * label-propagation rounds), hits (max authority/hub at 8 rounds), ppr
+    * (max personalized-pagerank rank seeded on the max-out-degree vertex),
+    * assortativity (degree assortativity).
+    *
+    * `cc` (VERDICT r3 next #3): a shared (vertex, component) snapshot —
+    * e.g. the `components` table [[runResumable]] materializes — consumed
+    * by the diameter feature instead of recomputing the CC fixpoint inside
+    * [[CoreMeasures.pseudoDiameter]].
     */
-  def measures(edges: DataFrame, features: Set[String]): DataFrame = {
+  def measures(edges: DataFrame, features: Set[String],
+               cc: Option[DataFrame] = None): DataFrame = {
     val degrees = Degrees.degrees(edges).cache()
     val degHist = Degrees.histogram(degrees, "deg")
     val inHist = Degrees.histogram(degrees, "in_deg")
@@ -89,12 +101,34 @@ object Pipeline {
             .select(col("alpha").as("powerlaw_exponent_in_degree"),
               col("xmin").as("powerlaw_exponent_in_degree_dmin")))),
       "diameter" -> (() =>
-        CoreMeasures.pseudoDiameter(edges).select(col("pseudo_diameter"))),
+        CoreMeasures.pseudoDiameter(edges, cc).select(col("pseudo_diameter"))),
       "pagerank" -> (() =>
         graft.algo.PageRank.run(edges).agg(max(col("rank")).as("max_pagerank"))),
       "eigenvector" -> (() =>
         graft.algo.Eigenvector.run(edges).agg(max(col("ev")).as("max_eigenvector"))),
       "clustering" -> (() => graft.algo.Triangles.clustering(edges)),
+      "kcore" -> (() =>
+        graft.algo.KCore.summary(edges, k = 10)
+          .select(col("core_vertices").as("kcore10_vertices"),
+            col("core_edges").as("kcore10_edges"),
+            col("max_core_deg").as("kcore10_max_degree"))),
+      "lpa" -> (() =>
+        graft.algo.LabelPropagation.runFixed(edges, iters = 5)
+          .agg(count_distinct(col("community")).as("lpa_communities"))),
+      "hits" -> (() =>
+        graft.algo.Hits.runFixed(edges, iters = 8)
+          .agg(max(col("auth")).as("max_hits_authority"),
+            max(col("hub")).as("max_hits_hub"))),
+      "ppr" -> (() => {
+        // deterministic seed: the max-out-degree vertex (ties to the
+        // greatest vertex), the same convention as pseudo-diameter's source
+        val seed = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+          .agg(max_by(col("src"), struct(col("od"), col("src"))))
+          .head().getString(0)
+        graft.algo.PageRank.runPersonalizedFixed(edges, Seq(seed), iters = 10)
+          .agg(max(col("rank")).as("max_personalized_pagerank"))
+      }),
+      "assortativity" -> (() => CoreMeasures.assortativity(edges)),
       "rdf" -> (() => Seq(
         RdfMeasures.outDegree(edges), RdfMeasures.partialOutDegree(edges),
         RdfMeasures.labelledOutDegree(edges), RdfMeasures.directOutDegree(edges),
@@ -237,8 +271,14 @@ object Pipeline {
       GraphTables.vertices(triples)
     }
     val edgesSnap = s"edges@${io.latest("edges").get.id}"
+    // one CC snapshot shared by every component consumer (diameter here;
+    // largest-component filters and dedup-cluster jobs in callers) instead
+    // of re-running the CC fixpoint inside each of them
+    val cc = io.resumeOrCompute("components", "analyze", edgesSnap) {
+      graft.algo.ConnectedComponents.run(edges)
+    }
     io.resumeOrCompute("measures", "analyze", edgesSnap) {
-      measures(edges)
+      measures(edges, DefaultFeatures, Some(cc))
     }
   }
 
@@ -260,7 +300,7 @@ object Pipeline {
         val m = runResumable(spark, root, nConvs)
         println(f"measures=${m.count()} wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
         val io = new graft.io.TableIO(spark, root)
-        Seq("transcripts", "triples", "edges", "vertices", "measures").foreach { t =>
+        Seq("transcripts", "triples", "edges", "vertices", "components", "measures").foreach { t =>
           val s = io.latest(t).get
           println(s"  $t: snap=${s.id} rows=${s.rowCount} wall_ms=${s.wallMs} input=${s.inputSnapshot}")
         }

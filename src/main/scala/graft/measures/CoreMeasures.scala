@@ -123,11 +123,18 @@ object CoreMeasures {
     * the max-out-degree vertex of the component (deterministic and never a
     * sink, unlike graph-tool's vertex 0); ties on farthest vertex break to
     * the greatest vertex (lodcc's later-wins analog).
+    *
+    * `precomputedCC` (VERDICT r3 next #3): a (vertex, component) table from
+    * a prior [[graft.algo.ConnectedComponents.run]] — e.g. the measure
+    * suite's shared CC snapshot — skips the iterative CC job entirely; when
+    * absent, CC is computed (and cached only for the duration of this call).
     */
-  def pseudoDiameter(edges: DataFrame): DataFrame = {
+  def pseudoDiameter(edges: DataFrame,
+                     precomputedCC: Option[DataFrame] = None): DataFrame = {
     import graft.algo.{Bfs, ConnectedComponents}
     val spark = edges.sparkSession
-    val cc = ConnectedComponents.run(edges).cache()
+    val ownCC = precomputedCC.isEmpty
+    val cc = precomputedCC.getOrElse(ConnectedComponents.run(edges).cache())
     val top = ConnectedComponents.componentSizes(cc)
       .orderBy(col("size").desc, col("component").asc).limit(1).collect()
     def maxOutSource(e: DataFrame): String =
@@ -146,7 +153,7 @@ object CoreMeasures {
         (lcEdges, maxOutSource(lcEdges))
       }
     val (d, s, t) = Bfs.pseudoDiameter(useEdges, source)
-    cc.unpersist(false)
+    if (ownCC) cc.unpersist(false)
     import spark.implicits._
     Seq((d, s, t)).toDF("pseudo_diameter", "pseudo_diameter_src_vertex", "pseudo_diameter_trg_vertex")
   }

@@ -172,6 +172,13 @@ object Curation {
     * oracle path, the percentile_approx sketch at corpus scale), pivoted
     * to one (lo, hi) row per group and joined back BROADCAST — groups are
     * few by construction, so the data side never reshuffles.
+    *
+    * NULL semantics (ADVICE r3): every input row survives (LEFT join
+    * against the quantile table), and a row with a NULL value, a NULL
+    * group, or a group with no computable quantiles gets `clipped` /
+    * `was_clipped` = NULL — never a fabricated clip to the group's lo bound
+    * (Spark's least/greatest skip NULLs, which silently produced exactly
+    * that before).
     */
   def winsorize(df: DataFrame, valCol: String, byCol: String,
                 lo: Double, hi: Double, exact: Boolean = false): DataFrame = {
@@ -180,10 +187,14 @@ object Curation {
       .groupBy(byCol)
       .agg(min(when(col("prob") === lo, col("value"))).as("__lo"),
         min(when(col("prob") === hi, col("value"))).as("__hi"))
-    df.join(broadcast(q), byCol)
+    val undefined = col(valCol).isNull || col("__lo").isNull || col("__hi").isNull
+    df.join(broadcast(q), Seq(byCol), "left")
       .withColumn("clipped",
-        least(greatest(col(valCol).cast("double"), col("__lo")), col("__hi")))
-      .withColumn("was_clipped", col("clipped") =!= col(valCol).cast("double"))
+        when(undefined, lit(null).cast("double"))
+          .otherwise(least(greatest(col(valCol).cast("double"), col("__lo")), col("__hi"))))
+      .withColumn("was_clipped",
+        when(undefined, lit(null).cast("boolean"))
+          .otherwise(col("clipped") =!= col(valCol).cast("double")))
       .drop("__lo", "__hi")
   }
 

@@ -266,10 +266,19 @@ object Dedup {
     */
   def minhashLshCandidates(signatures: DataFrame, rowsPerBand: Int,
                            collapse: Boolean = true): DataFrame = {
+    // band/collapse keys are xxhash64 digests of the sorted (i, mh) structs,
+    // NOT the concatenated signature strings: every downstream shuffle (the
+    // band self-join, the rep groupBy, the rep join-back) then moves 8-byte
+    // longs instead of multi-hundred-byte strings — at r3's measured scale
+    // the string keys alone doubled doc_minhash_lsh wall time. The digest is
+    // injective on the (i -> mh) map up to 64-bit hash collisions, the same
+    // acceptance class as the md5 text keys in [[exactGroups]] (a collision
+    // would at worst add one spurious candidate pair — candidates are
+    // verified downstream — or merge two signature groups, ~n²/2⁶⁵ odds).
     val banded = signatures
       .withColumn("band", (col("i") / rowsPerBand).cast("int"))
       .groupBy("id", "band")
-      .agg(concat_ws(",", sort_array(collect_list(concat(col("i"), lit(":"), col("mh"))))).as("sig"))
+      .agg(xxhash64(sort_array(collect_list(struct(col("i"), col("mh"))))).as("sig"))
     def bandPairs(b: DataFrame): DataFrame =
       b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -278,10 +287,10 @@ object Dedup {
         .distinct()
     if (!collapse) bandPairs(banded)
     else {
-      // canonical full-signature key: band sigs carry "i:mh" entries, so the
-      // sorted concat is injective on the (i -> mh) map
+      // canonical full-signature digest over the sorted (band, sig) pairs —
+      // injective on the band-signature map modulo the collision odds above
       val full = banded.groupBy("id")
-        .agg(concat_ws("|", sort_array(collect_list(col("sig")))).as("fullsig"))
+        .agg(xxhash64(sort_array(collect_list(struct(col("band"), col("sig"))))).as("fullsig"))
       val reps = full.groupBy("fullsig").agg(min("id").as("rep"))
       val withRep = full.join(reps, "fullsig").select(col("id"), col("rep"))
       val stars = withRep.where(col("id") =!= col("rep"))

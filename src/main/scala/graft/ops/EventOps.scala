@@ -57,15 +57,17 @@ object EventOps {
     * Scale shape: one distinct on (user, period) — the only pass over the
     * raw stream — then a user-keyed min aggregation and a user-keyed join
     * back; the final count groups on the tiny (cohort, offset) key space.
-    * Period ids are exact: epoch micros and the period divisor are both
-    * well under 2^53, so the double division truncates to the true floor.
+    * Period ids use exact long floor division (ADVICE r3: the double
+    * division was exact only for the documented magnitudes; near the
+    * half-ulp boundary it could floor into the wrong period and diverge
+    * from the oracle's integer `//`).
     */
   def retention(events: DataFrame, userCol: String, tsCol: String,
                 periodSeconds: Long): DataFrame = {
     require(periodSeconds > 0, "periodSeconds must be positive")
     val p = periodSeconds * 1000000L
     val ue = events.select(col(userCol).as("user"),
-      (epochMicros(col(tsCol)) / p).cast("long").as("period")).distinct()
+      floorDiv(epochMicros(col(tsCol)), p).as("period")).distinct()
     val cohorts = ue.groupBy("user").agg(min("period").as("cohort"))
     ue.join(cohorts, "user")
       .groupBy(col("cohort"), (col("period") - col("cohort")).as("offset"))

@@ -18,14 +18,21 @@ import org.apache.spark.sql.types._
   * wide agg row, unpivoted driver-free with stack), plus one exact
   * count_distinct per column folded into the same agg (Spark plans
   * multi-distinct aggs as expand+partial — still a single shuffle pass
-  * of the input, never a per-column scan). At web scale pass
-  * `approxDistinct = true`: the exact multi-distinct expand becomes one
-  * HLL++ sketch per column — constant memory per column, the 100-TB
-  * default; the exact form is what the cross-engine oracle checks.
+  * of the input, never a per-column scan). `approxDistinct = true` IS the
+  * default (the 100-TB shape): the exact multi-distinct expand becomes one
+  * HLL++ sketch per column — constant memory per column. Pass
+  * `approxDistinct = false` for the exact form, which is what the
+  * cross-engine oracle checks (the doc_profile gate query pins it).
+  *
+  * NULL semantics (ADVICE r3): min/max/sum of an all-null column — and
+  * every metric of an empty table except the counts — are NULL, matching
+  * the SQL aggregates on any engine. Nothing is coalesced to 0.0: a
+  * profiling tool that fabricates a 0 where no data existed is reporting a
+  * statistic that was never measured.
   */
 object Profile {
 
-  def summarize(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
+  def summarize(df: DataFrame, approxDistinct: Boolean = true): DataFrame = {
     val metrics: Seq[(String, String, Column)] = df.schema.fields.toSeq.flatMap { f =>
       val c = col(f.name)
       val distinct =
@@ -46,8 +53,10 @@ object Profile {
       }
       base ++ typed
     }
+    // counts (n_nulls/n_distinct) are never NULL by SQL semantics; min/max/
+    // sum legitimately are (all-null column, empty table) and stay so
     val aggs = metrics.zipWithIndex.map { case ((_, _, expr), i) =>
-      coalesce(expr, lit(0.0)).as(s"m$i")
+      expr.as(s"m$i")
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // unpivot the single wide row with stack — no collect, no per-metric job

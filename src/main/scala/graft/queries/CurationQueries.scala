@@ -145,7 +145,9 @@ object CurationQueries {
     }),
 
     "doc_profile" -> ((s, dir) =>
-      graft.ops.Profile.summarize(docs(s, dir))
+      // exact distinct counts pinned: the cross-engine oracle checks the
+      // exact form; the HLL++ sketch is the (unpinnable) production default
+      graft.ops.Profile.summarize(docs(s, dir), approxDistinct = false)
         .orderBy("column_name", "metric")),
 
     "doc_weighted_sample" -> ((s, dir) => {

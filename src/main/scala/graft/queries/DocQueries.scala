@@ -261,12 +261,12 @@ object DocQueries {
 
     "mm_frame_sample" -> ((s, dir) => {
       // video/audio shape: payload -> every 2nd complete 16-byte frame,
-      // pure codegen column ops (no UDF). ASCII + non-empty guard: the
-      // operator is byte-based while the SQL twin counts characters — the
-      // filter (chars == bytes, mirrored in the oracle) pins parity
-      // structurally instead of relying on the fixture being ASCII
+      // pure codegen column ops (no UDF). The oracle counts frames over the
+      // UTF-8 BYTE length (strlen), so parity holds for non-ASCII payloads
+      // too (ADVICE r2 / VERDICT r3 next #7 — the old chars==bytes filter
+      // pinned parity by excluding them instead). Non-empty guard only.
       val media = docs(s, dir)
-        .where(length(col("text")) === octet_length(col("text")) && length(col("text")) > 0)
+        .where(octet_length(col("text")) > 0)
         .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
       val frames = Multimodal.frameSample(media, frameSize = 16, stride = 2)
       frames.agg(
@@ -279,10 +279,11 @@ object DocQueries {
     "mm_feature_knn" -> ((s, dir) => {
       // multimodal -> embedding -> similarity, end to end: deterministic
       // feature stub (the encoder stand-in) feeding brute-force cosine top-k.
-      // ASCII + non-empty guard as in mm_frame_sample (byte/char parity,
-      // and empty payloads give % 0 -> NULL in the SQL twin)
+      // The oracle now indexes UTF-8 BYTES via hex(encode(text)), so only
+      // the non-empty guard remains (empty payloads give % 0 -> NULL in the
+      // SQL twin; the stub emits all-zero vectors for them)
       val media = docs(s, dir)
-        .where(length(col("text")) === octet_length(col("text")) && length(col("text")) > 0)
+        .where(octet_length(col("text")) > 0)
         .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
       val feats = Multimodal.featureStub(media, dim = 16)
       Similarity.bruteForceTopK(feats, "media_id", "features", col("media_id") < 5, k = 3)
@@ -309,6 +310,11 @@ object DocQueries {
     * 2-row bands -> identical-fullsig collapse -> banded rep self-join +
     * star re-expansion -> `cands(a, b)`. Exact twin of
     * `Dedup.minhashSignatures` + `Dedup.minhashLshCandidates` (collapse on).
+    * The Spark side keys its shuffles on xxhash64 digests of the signature
+    * structs while this twin uses the literal signature strings — the
+    * resulting PAIR SETS are identical absent a 64-bit digest collision
+    * (~n²/2⁶⁵; the same acceptance class as the md5 keys of
+    * doc_dedup_exact), so the aggregate outputs compare exactly.
     */
   private val minhashCandsCtes: String = {
     val coeffRows = Dedup.MinhashCoeffs.zipWithIndex
@@ -713,12 +719,16 @@ object DocQueries {
         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "mm_decode_meta" ->
+      // byte-based twin (VERDICT r3 next #7): byte i of the UTF-8 payload is
+      // read from hex(encode(text)) at hex offset 2i-1 — exact for any
+      // codepoint, where the old ascii(substr(..)) read CHARACTERS and was
+      // only correct on ASCII fixtures
       """WITH meta AS (
         |  SELECT doc_id, source,
         |         strlen(text) AS byte_len,
         |         strlen(text) % 640 AS width,
         |         strlen(text) % 480 AS height,
-        |         (SELECT coalesce(sum(ascii(substr(text, i, 1)) * i), 0)
+        |         (SELECT coalesce(sum(('0x' || substr(hex(encode(text)), 2 * i - 1, 2))::INT * i), 0)
         |          FROM unnest(generate_series(1, strlen(text))) g(i)) AS checksum
         |  FROM documents)
         |SELECT source, CAST(count(*) AS BIGINT) AS n,
@@ -732,7 +742,7 @@ object DocQueries {
       """WITH f AS (
         |  SELECT t.doc_id, g.i AS frame_idx
         |  FROM (SELECT doc_id, strlen(text) // 16 AS nf FROM documents
-        |        WHERE length(text) = strlen(text) AND strlen(text) > 0) t,
+        |        WHERE strlen(text) > 0) t,
         |       LATERAL unnest(generate_series(0, t.nf - 1)) g(i)
         |  WHERE g.i % 2 = 0)
         |SELECT CAST(count(*) AS BIGINT) AS n_frames,
@@ -745,9 +755,9 @@ object DocQueries {
       """WITH feats AS (
         |  SELECT doc_id AS media_id,
         |         list_transform(generate_series(0, 15),
-        |           d -> CAST(((ascii(substr(text, ((d * 7) % strlen(text)) + 1, 1)) * 31 + d) % 13 - 6) AS DOUBLE)) AS v
+        |           d -> CAST(((('0x' || substr(hex(encode(text)), 2 * ((d * 7) % strlen(text)) + 1, 2))::INT * 31 + d) % 13 - 6) AS DOUBLE)) AS v
         |  FROM documents
-        |  WHERE length(text) = strlen(text) AND strlen(text) > 0),
+        |  WHERE strlen(text) > 0),
         |q AS (SELECT media_id AS query_id, v AS qv FROM feats WHERE media_id < 5),
         |scored AS (
         |  SELECT query_id, media_id,

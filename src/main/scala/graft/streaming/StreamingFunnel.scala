@@ -22,6 +22,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingFunnel {
 
   case class FunnelEvent(user_id: Long, ts_us: Long, event_type: String)
+  /** TTL-path row: keeps the watermarked timestamp column alive through the
+    * typed plan (projecting it away would strip the watermark the
+    * event-time timeout needs).
+    */
+  case class FunnelEventTs(user_id: Long, ts: java.sql.Timestamp,
+                           ts_us: Long, event_type: String)
   case class FunnelState(step: Int, times: Seq[Long])
   case class FunnelUpdate(user: Long, step: Int, times: Seq[Long])
 
@@ -48,19 +54,60 @@ object StreamingFunnel {
     } else Iterator.empty
   }
 
-  /** Streaming events (user_id, ts, event_type) -> funnel-advance updates.
-    * `steps` is the ordered event-type sequence.
+  /** TTL flavor of [[advance]] (VERDICT r3 next #8): same step machine,
+    * plus an event-time timeout re-armed to (latest event in this batch +
+    * idle horizon). On timeout the user's state row is REMOVED — an
+    * abandoned funnel stops costing state; a user who comes back restarts
+    * from step 0, the standard attribution-window semantics.
     */
-  def progress(events: DataFrame, steps: Seq[String]): Dataset[FunnelUpdate] = {
+  private def advanceTtl(steps: Seq[String], idleMs: Long)(userId: Long,
+      rows: Iterator[FunnelEventTs],
+      state: GroupState[FunnelState]): Iterator[FunnelUpdate] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var maxTsMs = Long.MinValue
+      val buffered = rows.map { e =>
+        maxTsMs = math.max(maxTsMs, e.ts_us / 1000L)
+        FunnelEvent(e.user_id, e.ts_us, e.event_type)
+      }
+      val out = advance(steps)(userId, buffered, state) // consumes `buffered` eagerly
+      // keep abandoned-but-armed funnels evictable even when no event
+      // advanced the machine: state must exist for the timeout to be set
+      if (state.getOption.isEmpty) state.update(FunnelState(0, Seq.empty))
+      state.setTimeoutTimestamp(
+        math.max(maxTsMs + idleMs, state.getCurrentWatermarkMs() + 1))
+      out
+    }
+  }
+
+  /** Streaming events (user_id, ts, event_type) -> funnel-advance updates.
+    * `steps` is the ordered event-type sequence. `idleTimeoutSeconds > 0`
+    * (the production shape on an unbounded user keyspace) watermarks the
+    * stream and evicts a user's funnel state once the watermark passes
+    * their last event + the idle horizon — mirroring [[StreamingDedup]]'s
+    * watermark-bounded contract; 0 keeps unbounded state (test use).
+    */
+  def progress(events: DataFrame, steps: Seq[String],
+               idleTimeoutSeconds: Long = 0L): Dataset[FunnelUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
+    val typed = events
       .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
         graft.ops.EventOps.epochMicros(col("ts")).as("ts_us"),
         col("event_type"))
-      .as[FunnelEvent]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        advance(steps))
+    if (idleTimeoutSeconds <= 0L)
+      typed.select("user_id", "ts_us", "event_type").as[FunnelEvent]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+          advance(steps))
+    else
+      typed.withWatermark("ts", s"$idleTimeoutSeconds seconds")
+        .select("user_id", "ts", "ts_us", "event_type").as[FunnelEventTs]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+          advanceTtl(steps, idleTimeoutSeconds * 1000L))
   }
 }

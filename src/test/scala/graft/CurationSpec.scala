@@ -183,6 +183,27 @@ class CurationSpec extends AnyFunSuite {
     assert(got(("B", 100L)) == ((100.0, false)))
   }
 
+  test("winsorize: NULL value / NULL group rows survive with NULL clip, never fabricated") {
+    // ADVICE r3: least/greatest skip NULLs, so a NULL value used to come
+    // back "clipped" to the group's lo quantile, and NULL-group rows were
+    // dropped by the inner join entirely
+    val d = Seq((Some(1L), Some("A")), (Some(10L), Some("A")),
+      (Option.empty[Long], Some("A")), (Some(7L), Option.empty[String]))
+      .toDF("v", "g")
+    val rows = Curation.winsorize(d, "v", "g", 0.1, 0.9, exact = true).collect()
+    assert(rows.length == 4) // every input row survives the left join
+    val nullVal = rows.find(r => r.isNullAt(r.fieldIndex("v"))).get
+    assert(nullVal.isNullAt(nullVal.fieldIndex("clipped")))
+    assert(nullVal.isNullAt(nullVal.fieldIndex("was_clipped")))
+    val nullGrp = rows.find(r => r.isNullAt(r.fieldIndex("g"))).get
+    assert(nullGrp.isNullAt(nullGrp.fieldIndex("clipped")))
+    assert(nullGrp.isNullAt(nullGrp.fieldIndex("was_clipped")))
+    // non-null rows in a real group still clip exactly as before
+    val ones = rows.find(r => !r.isNullAt(r.fieldIndex("v")) &&
+      r.getAs[Long]("v") == 1L).get
+    assert(ones.getAs[Boolean]("was_clipped"))
+  }
+
   test("temperatureSample: alpha=0.5 rates, small-source upsampling, cap at 1") {
     // A: 100 rows, B: 4 rows; sqrt weights 10 and 2, target 12
     // -> r_A = 12*(10/12)/100 = 0.1, r_B = 12*(2/12)/4 = 0.5

@@ -196,6 +196,38 @@ class FixtureSpec extends AnyFunSuite {
     assert(d(one(CoreMeasures.reciprocity(edges)), "reciprocity") == 0.0)
   }
 
+  test("engine-extra measure features: kcore/lpa/hits/ppr/assortativity long rows") {
+    // VERDICT r3 next #9: the r3 graph extras as opt-in features of the
+    // lodcc-shaped measure runner, long-format rows like every other flag
+    val m = graft.Pipeline.measures(edges,
+      Set("kcore", "lpa", "hits", "ppr", "assortativity"))
+    val rows = m.collect().map(r => r.getString(0) ->
+      (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    assert(rows.keySet == Set("kcore10_vertices", "kcore10_edges",
+      "kcore10_max_degree", "lpa_communities", "max_hits_authority",
+      "max_hits_hub", "max_personalized_pagerank", "assortativity"))
+    // fixture graph has max degree 4 -> the 10-core is empty
+    assert(rows("kcore10_vertices") == 0.0 && rows("kcore10_edges") == 0.0)
+    // 8 vertices -> between 1 and 8 propagation communities
+    assert(rows("lpa_communities") >= 1.0 && rows("lpa_communities") <= 8.0)
+    assert(rows("max_hits_authority") > 0.0 && rows("max_hits_authority") <= 1.0)
+    assert(rows("max_hits_hub") > 0.0 && rows("max_hits_hub") <= 1.0)
+    // ppr seeds on /John (max out-degree 4): rank mass concentrates there
+    assert(rows("max_personalized_pagerank") > 0.0 &&
+      rows("max_personalized_pagerank") <= 1.0)
+    // hand-computed Pearson over endpoint total-degree pairs:
+    // five (4,·) one (4,4), two (1,4) -> r = -sqrt(8/15)
+    assert(math.abs(rows("assortativity") - (-math.sqrt(8.0 / 15))) < 1e-9)
+  }
+
+  test("pseudoDiameter with a precomputed CC snapshot == self-computed (r3 next #3)") {
+    val cc = graft.algo.ConnectedComponents.run(edges).cache()
+    val shared = one(CoreMeasures.pseudoDiameter(edges, Some(cc)))
+    val own = one(CoreMeasures.pseudoDiameter(edges))
+    assert(shared == own)
+    cc.unpersist(false)
+  }
+
   test("measures matrix: measure x dataset pivot CSV round-trips (main.py:284-301)") {
     val m = graft.Pipeline.measuresMany(
       Seq("dsA" -> edges, "dsB" -> edges.limit(3)),

@@ -179,7 +179,9 @@ class PlanSpec extends AnyFunSuite {
       graft.ops.Dedup.minhashLshCandidates(
         graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text", 3), 2)
       graft.ops.Dedup.simhashPairs(docs, "doc_id", "text", 3)
-      Thread.sleep(500) // listener events post asynchronously
+      // drain the async listener bus deterministically (ADVICE r3: a fixed
+      // sleep could miss late-posted events under load)
+      org.apache.spark.GraftTestBridge.waitUntilListenerBusEmpty(spark.sparkContext)
       assert(jobs.get() == 0, s"plan construction ran ${jobs.get()} Spark job(s)")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
@@ -217,7 +219,7 @@ class PlanSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     val plan = try {
       val p = planOf(graft.ops.Dedup.tfidfCosinePairs(docs, "doc_id", "text", 0.5))
-      Thread.sleep(500)
+      org.apache.spark.GraftTestBridge.waitUntilListenerBusEmpty(spark.sparkContext)
       assert(jobs.get() == 0, s"plan construction ran ${jobs.get()} Spark job(s)")
       p
     } finally spark.sparkContext.removeSparkListener(listener)
