@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time a named subset of the gate queries under the exact Bench
+  * suite session (local[32], 128 shuffle partitions, AQE), min of 2 passes —
+  * for targeted regression checks without the full Bench protocol.
+  *
+  * {{{ sbt "runMain graft.QueryTimer doc_minhash_lsh doc_shingle_jaccard" }}}
+  */
+object QueryTimer {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq else Seq("doc_minhash_lsh")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-query-timer")
+      .config("spark.sql.shuffle.partitions", "128")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    names.foreach { n =>
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+        val plan = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString
+        println(s"=== $n: ${"Exchange".r.findAllIn(plan).length} Exchange nodes " +
+          s"(${"ReusedExchange".r.findAllIn(plan).length} reused)")
+        println(plan.linesIterator
+          .filter(l => l.contains("Exchange") || l.contains("Join") ||
+            l.contains("HashAggregate")).mkString("\n"))
+      }
+      val (a, b) = (once(n), once(n))
+      println(f"""{"query":"$n","pass1":$a%.2f,"pass2":$b%.2f,"min2":${math.min(a, b)}%.2f}""")
+    }
+    spark.stop()
+  }
+}

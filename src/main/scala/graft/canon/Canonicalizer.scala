@@ -74,14 +74,14 @@ object Canonicalizer {
       array_distinct(transform(idx,
         i => TextOps.portableHash31(col("norm").substr(i, lit(k))))))
       .cache()
-    val sigs = withHs.select(col("surface").as("id"),
-      explode(array(Dedup.MinhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
-        struct(lit(i).as("i"),
-          array_min(transform(col("hs"),
-            h => (lit(a) * h + lit(b)) % Dedup.MinhashPrime)).as("mh"))
-      }: _*)).as("sig"))
-      .select(col("id"), col("sig.i").as("i"), col("sig.mh").as("mh"))
-    val cands = Dedup.minhashLshCandidates(sigs, rowsPerBand)
+    // array form feeds the LSH directly — the signature table never
+    // shuffles (Dedup.minhashLshCandidatesArrays scaladoc)
+    val sigArrays = withHs.select(col("surface").as("id"),
+      array(Dedup.MinhashCoeffs.map { case (a, b) =>
+        array_min(transform(col("hs"),
+          h => (lit(a) * h + lit(b)) % Dedup.MinhashPrime))
+      }: _*).as("mhs"))
+    val cands = Dedup.minhashLshCandidatesArrays(sigArrays, rowsPerBand)
     // exploded (id, h) rows for the exact-Jaccard verification joins
     val sh = withHs.select(col("surface").as("id"), explode(col("hs")).as("h"))
 

@@ -178,7 +178,19 @@ object Dedup {
     * composed path.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        shingleK: Int): DataFrame = {
+                        shingleK: Int): DataFrame =
+    minhashSignatureArrays(docs, idCol, textCol, shingleK)
+      .select(col("id"), posexplode(col("mhs")).as(Seq("i", "mh")))
+
+  /** Array form of [[minhashSignatures]]: one MAP-ONLY row per document,
+    * `mhs[i]` = the i-th minhash. This is the shape [[minhashLshCandidatesArrays]]
+    * consumes — the signature table then NEVER shuffles (banding, the
+    * full-signature digest, and the collapse key are all per-row
+    * projections), where the exploded (id, i, mh) form costs a k-rows-per-doc
+    * groupBy to reassemble. Documents with no shingle emit no row.
+    */
+  def minhashSignatureArrays(docs: DataFrame, idCol: String, textCol: String,
+                             shingleK: Int): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
     val idx = when(size(toks) >= shingleK,
       sequence(lit(0), size(toks) - shingleK)).otherwise(typedlit(Seq.empty[Int]))
@@ -191,14 +203,10 @@ object Dedup {
       array_distinct(transform(idx,
         i => TextOps.portableHash31(array_join(slice(toks, i + 1, lit(shingleK)), " "))))
         .as("hs"))
-    val sigs = array(MinhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
-      struct(lit(i).as("i"),
-        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % MinhashPrime)).as("mh"))
+    val sigs = array(MinhashCoeffs.map { case (a, b) =>
+      array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % MinhashPrime))
     }: _*)
-    hashed.select(col("id"), explode(when(size(col("hs")) > 0, sigs)
-      .otherwise(typedlit(Seq.empty[(Int, Long)]).cast("array<struct<i:int,mh:bigint>>")))
-      .as("sig"))
-      .select(col("id"), col("sig.i").as("i"), col("sig.mh").as("mh"))
+    hashed.where(size(col("hs")) > 0).select(col("id"), sigs.as("mhs"))
   }
 
   /** Composed-operator twin of [[minhashSignatures]] (cross-check). */
@@ -266,38 +274,73 @@ object Dedup {
     */
   def minhashLshCandidates(signatures: DataFrame, rowsPerBand: Int,
                            collapse: Boolean = true): DataFrame = {
-    // band/collapse keys are xxhash64 digests of the sorted (i, mh) structs,
-    // NOT the concatenated signature strings: every downstream shuffle (the
-    // band self-join, the rep groupBy, the rep join-back) then moves 8-byte
-    // longs instead of multi-hundred-byte strings — at r3's measured scale
-    // the string keys alone doubled doc_minhash_lsh wall time. The digest is
-    // injective on the (i -> mh) map up to 64-bit hash collisions, the same
-    // acceptance class as the md5 text keys in [[exactGroups]] (a collision
-    // would at worst add one spurious candidate pair — candidates are
-    // verified downstream — or merge two signature groups, ~n²/2⁶⁵ odds).
-    val banded = signatures
-      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
-      .groupBy("id", "band")
-      .agg(xxhash64(sort_array(collect_list(struct(col("i"), col("mh"))))).as("sig"))
+    // legacy exploded shape: reassemble the per-doc array (one k-rows-per-doc
+    // groupBy — dense contract: exactly one row per (id, i), i = 0..k-1,
+    // which both [[minhashSignatures]] and the composed twin emit), then
+    // run the array path. Callers on the hot path should produce
+    // [[minhashSignatureArrays]] directly and skip this shuffle.
+    val arrays = signatures.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("i"), col("mh")))).as("__sa"))
+      .select(col("id"), transform(col("__sa"), s => s.getField("mh")).as("mhs"))
+    minhashLshCandidatesArrays(arrays, rowsPerBand, collapse)
+  }
+
+  /** LSH candidates over the MAP-ONLY array signatures
+    * ([[minhashSignatureArrays]]): banding, the band digests, and the
+    * full-signature collapse key are all per-row projections, so the
+    * signature table itself never shuffles — the only wide stages are the
+    * band self-join, the rep min-aggregation, and the rep join-back
+    * (collapse on), every one keyed on an 8-byte xxhash64 digest.
+    *
+    * Determinism matters for the plan, not just the result: the digests are
+    * pure functions of `mhs` (no collect_list anywhere), so Spark's
+    * exchange-reuse dedupes the two sides of the band self-join instead of
+    * recomputing the signature projection per branch (the non-deterministic
+    * collect_list in the legacy path defeats canonicalization and with it
+    * every reuse opportunity).
+    *
+    * Digest collision class: xxhash64 on the minhash array — injective up
+    * to 64-bit collisions, the same acceptance class as the md5 text keys
+    * in [[exactGroups]] (a collision at worst adds one spurious candidate —
+    * candidates are verified downstream — or merges two signature groups,
+    * ~n²/2⁶⁵ odds).
+    */
+  def minhashLshCandidatesArrays(sigArrays: DataFrame, rowsPerBand: Int,
+                                 collapse: Boolean = true): DataFrame = {
+    val nb = ((size(col("mhs")) + lit(rowsPerBand - 1)) / lit(rowsPerBand)).cast("int")
+    val bandsCol = transform(
+      sequence(lit(0), nb - 1),
+      b => struct(b.cast("int").as("band"),
+        xxhash64(slice(col("mhs"), b * rowsPerBand + 1, lit(rowsPerBand))).as("sig")))
+    // ONE deterministic exchange pinned directly above the signature
+    // projection: the plan fans withSigs into several branches (the rep
+    // aggregation, the rep join-back, both sides of the band self-join),
+    // and without a common shuffle boundary each branch would re-run the
+    // md5-heavy shingle+minhash projection from the source (measured 30x
+    // wall-time blowup at sf0.1). With it, ReusedExchange/AQE-stage-reuse
+    // computes the projection once and every branch reads the shuffle
+    // files — payload is the compact (id, 8 longs) table, orders of
+    // magnitude smaller than the exploded per-(id, i) signature shuffle
+    // the legacy path pays.
+    val withSigs = sigArrays.select(col("id"),
+      xxhash64(col("mhs")).as("fullsig"), bandsCol.as("__bands"))
+      .repartition(col("id"))
+    def explodeBands(df: DataFrame): DataFrame =
+      df.select(col("id"), explode(col("__bands")).as("__b"))
+        .select(col("id"), col("__b.band").as("band"), col("__b.sig").as("sig"))
     def bandPairs(b: DataFrame): DataFrame =
       b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.id") < col("y.id"))
         .select(col("x.id").as("a"), col("y.id").as("b"))
         .distinct()
-    if (!collapse) bandPairs(banded)
+    if (!collapse) bandPairs(explodeBands(withSigs))
     else {
-      // canonical full-signature digest over the sorted (band, sig) pairs —
-      // injective on the band-signature map modulo the collision odds above
-      val full = banded.groupBy("id")
-        .agg(xxhash64(sort_array(collect_list(struct(col("band"), col("sig"))))).as("fullsig"))
-      val reps = full.groupBy("fullsig").agg(min("id").as("rep"))
-      val withRep = full.join(reps, "fullsig").select(col("id"), col("rep"))
+      val reps = withSigs.groupBy("fullsig").agg(min("id").as("rep"))
+      val withRep = withSigs.join(reps, "fullsig") // carries __bands through
       val stars = withRep.where(col("id") =!= col("rep"))
         .select(col("rep").as("a"), col("id").as("b")) // rep = min id, so a < b
-      val repBanded = banded.join(
-        withRep.where(col("id") === col("rep")).select("id"), Seq("id"), "left_semi")
-      bandPairs(repBanded).union(stars)
+      bandPairs(explodeBands(withRep.where(col("id") === col("rep")))).union(stars)
     }
   }
 

@@ -64,10 +64,12 @@ object DocQueries {
     "doc_minhash_lsh" -> ((s, dir) => {
       // the signature pass is map-only and inherits input partitioning; the
       // local test file is ONE ~3MB parquet partition, so spread it first
-      // (at production scale the input is already many-partitioned)
-      val sigs = Dedup.minhashSignatures(docs(s, dir).repartition(32),
+      // (at production scale the input is already many-partitioned).
+      // Array-form signatures feed the LSH directly: the signature table
+      // itself never shuffles (no groupBy-reassembly of exploded rows)
+      val sigs = Dedup.minhashSignatureArrays(docs(s, dir).repartition(32),
         "doc_id", "text", shingleK = 3)
-      val cands = Dedup.minhashLshCandidates(sigs, rowsPerBand = 2)
+      val cands = Dedup.minhashLshCandidatesArrays(sigs, rowsPerBand = 2)
       cands.agg(
         count(lit(1)).as("cand_pairs"),
         coalesce(sum(col("a") * 31 + col("b")), lit(0L)).as("pair_checksum"))
@@ -80,8 +82,8 @@ object DocQueries {
       // replays the whole chain, CC via the same recursive-CTE pattern as
       // kg_cc.
       val d = docs(s, dir).repartition(32)
-      val sigs = Dedup.minhashSignatures(d, "doc_id", "text", shingleK = 3)
-      val cands = Dedup.minhashLshCandidates(sigs, rowsPerBand = 2)
+      val sigs = Dedup.minhashSignatureArrays(d, "doc_id", "text", shingleK = 3)
+      val cands = Dedup.minhashLshCandidatesArrays(sigs, rowsPerBand = 2)
       val cc = graft.algo.ConnectedComponents.run(
         cands.select(col("a").as("src"), col("b").as("dst")))
       val sizes = cc.groupBy("component").agg(count(lit(1)).as("sz"))

@@ -220,6 +220,30 @@ class FixtureSpec extends AnyFunSuite {
     assert(math.abs(rows("assortativity") - (-math.sqrt(8.0 / 15))) < 1e-9)
   }
 
+  test("S-plots: log-log degree-distribution SVGs render and place PDF points exactly") {
+    // matplotlib-free twin of lodcc's plot images (degree_based.py:125-145)
+    import graft.measures.Plots
+    // fixture total-degree histogram: {1 -> 6, 4 -> 2} -> 2 markers
+    val svg = Plots.histogramSvg(
+      Degrees.histogram(degrees, "deg"), "fixture: degree distribution")
+    assert(svg.count(_ == '<') == svg.count(_ == '>')) // balanced tags
+    assert("<circle ".r.findAllIn(svg).length == 2)
+    assert(svg.contains("1e0") && svg.contains("pdf"))
+    // parses as real XML (JDK parser, no external libs)
+    val db = javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+    db.parse(new java.io.ByteArrayInputStream(svg.getBytes("UTF-8")))
+    // per-dataset plot files, one per kind, like the reference image layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_plots").toString
+    val files = Plots.writeDegreePlots(edges, "fixture", dir)
+    assert(files.size == 3 && files.forall(f => new java.io.File(f).length() > 500))
+    assert(files.exists(_.endsWith("fixture_in_degree_distribution.svg")))
+    // in-degree histogram contains x=0 (sources): log axis must drop it,
+    // leaving the positive-degree markers only ({1 -> 4, 3 -> 1} -> 2)
+    val inSvg = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(files.find(_.contains("_in_degree_")).get)), "UTF-8")
+    assert("<circle ".r.findAllIn(inSvg).length == 2)
+  }
+
   test("pseudoDiameter with a precomputed CC snapshot == self-computed (r3 next #3)") {
     val cc = graft.algo.ConnectedComponents.run(edges).cache()
     val shared = one(CoreMeasures.pseudoDiameter(edges, Some(cc)))

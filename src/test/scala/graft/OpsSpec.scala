@@ -104,6 +104,26 @@ class OpsSpec extends AnyFunSuite {
     assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("array-signature LSH path == exploded-signature path (both collapse modes)") {
+    // the hot path feeds map-only array signatures straight into the LSH;
+    // the legacy exploded shape reassembles them with a groupBy — the
+    // candidate sets must be identical
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3)
+    val arrs = Dedup.minhashSignatureArrays(docs, "doc_id", "text", 3)
+    // posexplode round-trip: arrays carry the same (i -> mh) map
+    val reExploded = arrs.select(col("id"), posexplode(col("mhs")).as(Seq("i", "mh")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(reExploded == sigs.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+    for (collapse <- Seq(true, false)) {
+      val a = Dedup.minhashLshCandidatesArrays(arrs, 2, collapse)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = Dedup.minhashLshCandidates(sigs, 2, collapse)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == b, s"collapse=$collapse")
+    }
+  }
+
   test("simhash: identical docs identical hash; near-dups close") {
     val sh = TextOps.simhash16(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
