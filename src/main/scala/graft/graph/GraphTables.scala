@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.gfunctions.xxh64_hex
@@ -152,5 +152,76 @@ object GraphTables {
       .where(col("item") < col("item2"))
       .groupBy(col("item").as("a"), col("item2").as("b"))
       .agg(count(lit(1)).as("weight"))
+  }
+
+  /** Bounded property-path reachability (SPARQL `src p{1,maxHops} dst` /
+    * Cypher variable-length pattern): the distinct (origin, v, hops) pairs
+    * where `hops` is the MINIMUM number of `edgeLabel` edges from an
+    * origin passing `srcFilter` (a predicate over `src`) to v,
+    * 1 <= hops <= maxHops.
+    *
+    * Frontier BFS as iterated equi-joins: hop h+1 joins the hop-h frontier
+    * to the (deduplicated) label-filtered edge set, and a left-anti join
+    * against everything already reached keeps the semantics min-hop AND
+    * caps the frontier at O(origins x vertices) rows — without it a dense
+    * graph re-derives every short path through every longer one
+    * (exponential path count, the classic transitive-closure blow-up).
+    * All joins are key-partitioned shuffles on vertex ids; nothing is
+    * collected, and maxHops bounds the job count, so the plan is the same
+    * shape a 1000-executor run wants.
+    */
+  def kHop(edges: DataFrame, edgeLabel: String, srcFilter: Column,
+           maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = edges.where(col("label") === edgeLabel)
+      .select(col("src"), col("dst")).distinct()
+    val hop1 = e.where(srcFilter)
+      .select(col("src").as("origin"), col("dst").as("v")).distinct()
+    var all = hop1.withColumn("hops", lit(1))
+    var frontier = hop1
+    for (h <- 2 to maxHops) {
+      val next = frontier.as("f").join(e.as("e"), col("f.v") === col("e.src"))
+        .select(col("f.origin").as("origin"), col("e.dst").as("v")).distinct()
+      val fresh = next.join(all.select("origin", "v"), Seq("origin", "v"), "left_anti")
+      all = all.unionByName(fresh.withColumn("hops", lit(h)))
+      frontier = fresh
+    }
+    all
+  }
+
+  /** Deterministic negative sampling over an integer-encoded triple table —
+    * the corrupted-triple generator of KG-embedding training (TransE-family
+    * protocol): for every (src_id, label_id, dst_id), propose the tail
+    * corruption (src_id, label_id, neg_dst_id) with neg_dst_id drawn
+    * pseudo-randomly-but-reproducibly from the dense vertex id space
+    * [0, nVertices) by a fixed LCG over the edge's own ids; a draw that
+    * lands on the true tail is shifted by one (mod n) so a negative never
+    * equals its positive, and candidates that collide with ANY real edge
+    * are removed by a left-anti join — the standard "filtered" negatives.
+    *
+    * Everything is a map-side projection plus ONE anti-join keyed on the
+    * full triple; the 1-row vertex count rides the plan as a broadcast
+    * cross join. The LCG constants keep products within 63 bits for id
+    * spaces up to 2^31; beyond that swap the mix for xxhash64 Spark-side
+    * (same plan, different map expression).
+    */
+  def negativeSamples(intTriples: DataFrame, nVertices: DataFrame): DataFrame = {
+    val cand = intTriples
+      .select(col("src_id"), col("label_id"), col("dst_id"))
+      .crossJoin(broadcast(nVertices.select(col("n_vertices"))))
+      .withColumn("__draw", pmod(
+        col("src_id") * lit(1103515245L) + col("dst_id") * lit(2654435769L) +
+          col("label_id") * lit(97L) + lit(12345L),
+        col("n_vertices")))
+      .withColumn("neg_dst_id",
+        when(col("__draw") === col("dst_id"),
+          pmod(col("__draw") + 1, col("n_vertices")))
+          .otherwise(col("__draw")))
+      .select("src_id", "label_id", "dst_id", "neg_dst_id")
+    cand.join(
+      intTriples.select(col("src_id"), col("label_id"),
+        col("dst_id").as("neg_dst_id")).distinct(),
+      Seq("src_id", "label_id", "neg_dst_id"), "left_anti")
+      .select("src_id", "label_id", "dst_id", "neg_dst_id")
   }
 }

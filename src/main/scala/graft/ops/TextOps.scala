@@ -316,4 +316,33 @@ object TextOps {
       .agg(sort_array(collect_list(struct(col("doc"), col("tf")))).as("postings"))
       .select("term", "df", "ttf", "postings")
   }
+
+  /** Corpus-trained unigram language-model scoring — the proxy-perplexity
+    * quality signal of pretraining pipelines (CCNet/Gopher-style LM
+    * filtering, self-trained here so no external model is needed): per
+    * document, the mean natural-log probability of its tokens under the
+    * corpus's own unigram distribution p(t) = count(t) / total_tokens.
+    * Returns (id, n_tokens, mean_logprob); rare-token-heavy (low-quality
+    * or off-domain) documents score low, boilerplate scores high.
+    *
+    * Scale shape: one groupBy(term) over the token stream builds the
+    * count table, one token-keyed equi-join scores it — the vocabulary is
+    * high-cardinality at corpus scale, so the count table is NOT
+    * broadcast; only the 1-row grand total rides the plan as a broadcast
+    * cross join (job-free construction). Per-doc reduction is a map-side
+    * partial aggregate on the document key.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+    val counts = toks.groupBy("term").agg(count(lit(1)).cast("double").as("c"))
+    val total = counts.agg(sum("c").as("total"))
+    toks.join(counts, "term")
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(org.apache.spark.sql.functions.log(col("c") / col("total")))
+          .as("mean_logprob"))
+  }
 }

@@ -189,6 +189,25 @@ object DocQueries {
         .crossJoin(sharing.agg(max("d").as("max_docs_sharing"))))
     }),
 
+    "doc_unigram_logprob" -> ((s, dir) => {
+      // self-trained unigram LM scoring (proxy perplexity), summarized per
+      // source; the per-doc mean is rounded to 6 decimals BEFORE the
+      // summary aggregates (mirrored in the oracle), so a sub-1e-6 engine
+      // difference between two documents can never flip the hash
+      val scored = TextOps.unigramLogProb(docs(s, dir), "doc_id", "text")
+        .withColumn("mean_logprob", round(col("mean_logprob"), 6))
+      roundDoubles(docs(s, dir)
+        .select(col("doc_id").as("id"), col("source"))
+        .join(scored, "id")
+        .groupBy("source").agg(
+          count(lit(1)).as("docs"),
+          sum("n_tokens").as("total_tokens"),
+          avg("mean_logprob").as("avg_logprob"),
+          min("mean_logprob").as("min_logprob"),
+          max("mean_logprob").as("max_logprob"))
+        .orderBy("source"))
+    }),
+
     "emb_knn" -> ((s, dir) =>
       Similarity.bruteForceTopK(embs(s, dir), "vec_id", "embedding",
         col("vec_id") < 20, k = 3)
@@ -591,6 +610,28 @@ object DocQueries {
         |FROM embeddings,
         |     LATERAL unnest(generate_series(1, len(embedding))) AS i(i)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "doc_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, term
+        |  FROM documents, unnest(string_split_regex(text, ' +')) AS t(term)
+        |  WHERE term <> ''),
+        |counts AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY term),
+        |tot AS (SELECT sum(c) AS total FROM counts),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         round(avg(ln(c / total)), 6) AS mean_lp
+        |  FROM toks JOIN counts USING (term), tot
+        |  GROUP BY doc_id),
+        |j AS (SELECT d.source, s.n_tokens, s.mean_lp
+        |      FROM documents d JOIN scored s USING (doc_id))
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(round(avg(mean_lp), 6) AS DOUBLE) AS avg_logprob,
+        |       CAST(round(min(mean_lp), 6) AS DOUBLE) AS min_logprob,
+        |       CAST(round(max(mean_lp), 6) AS DOUBLE) AS max_logprob
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "emb_knn" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -114,6 +114,36 @@ object KgQueries {
           (graft.ops.TextOps.portableHash64(concat(col("a"), lit("|"), col("b")))
             % 1000003L)).cast("bigint").as("pair_checksum"))
     }),
+
+    "kg_khop" -> ((s, dir) => {
+      // bounded property path (p1{1,3}) from the 50 lowest-numbered
+      // vertices: distinct (origin, v) pairs by MINIMUM hop count
+      val reach = graft.graph.GraphTables.kHop(liEdges(s, dir), "p1",
+        substring(col("src"), 2, 10).cast("long") < 50, maxHops = 3)
+      reach.groupBy("hops").agg(
+        count(lit(1)).as("n_pairs"),
+        count_distinct(col("origin")).as("n_origins"),
+        sum(substring(col("origin"), 2, 10).cast("long") * 4099L +
+          substring(col("v"), 2, 10).cast("long")).as("checksum"))
+        .orderBy("hops")
+    }),
+
+    "kg_negative_samples" -> ((s, dir) => {
+      // filtered tail-corruption negatives over the integer-encoded
+      // triple table (one candidate per input edge, parallel edges kept)
+      val e = liEdges(s, dir)
+      val ids = graft.graph.GraphTables.vertexIds(e).cache()
+      val it = graft.graph.GraphTables.intEdges(e, ids)
+        .select(col("src_id"),
+          substring(col("label"), 2, 10).cast("long").as("label_id"),
+          col("dst_id"))
+      val n = ids.agg(count(lit(1)).as("n_vertices"))
+      val neg = graft.graph.GraphTables.negativeSamples(it, n)
+      neg.agg(
+        count(lit(1)).as("n_negatives"),
+        count_distinct(col("neg_dst_id")).as("distinct_neg_tails"),
+        sum(col("src_id") * 4099L + col("neg_dst_id")).as("checksum"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -142,6 +172,55 @@ object KgQueries {
          |       CAST(sum(w * (('0x' || substr(md5(a || '|' || b2), 1, 15))::BIGINT
          |         % 1000003)) AS BIGINT) AS pair_checksum
          |FROM p""".stripMargin,
+
+    "kg_khop" ->
+      s"""$edgesCte,
+         |e AS (SELECT DISTINCT src, dst FROM edges WHERE label = 'p1'),
+         |h1 AS (SELECT DISTINCT src AS origin, dst AS v FROM e
+         |       WHERE CAST(substr(src, 2) AS BIGINT) < 50),
+         |h2 AS (SELECT DISTINCT h.origin, e.dst AS v FROM h1 h JOIN e ON h.v = e.src),
+         |h3 AS (SELECT DISTINCT h.origin, e.dst AS v FROM h2 h JOIN e ON h.v = e.src),
+         |r AS (
+         |  SELECT origin, v, 1 AS hops FROM h1
+         |  UNION ALL SELECT origin, v, 2 FROM h2
+         |  UNION ALL SELECT origin, v, 3 FROM h3),
+         |m AS (SELECT origin, v, min(hops) AS hops FROM r GROUP BY origin, v)
+         |SELECT CAST(hops AS INT) AS hops,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(count(DISTINCT origin) AS BIGINT) AS n_origins,
+         |       CAST(sum(CAST(substr(origin, 2) AS BIGINT) * 4099
+         |                + CAST(substr(v, 2) AS BIGINT)) AS BIGINT) AS checksum
+         |FROM m GROUP BY hops ORDER BY hops""".stripMargin,
+
+    "kg_negative_samples" ->
+      s"""$edgesCte,
+         |ids AS (
+         |  SELECT v AS vhash, CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS vid
+         |  FROM (SELECT DISTINCT src AS v FROM edges UNION SELECT dst FROM edges) w),
+         |it AS (
+         |  SELECT si.vid AS src_id, CAST(substr(e.label, 2) AS BIGINT) AS label_id,
+         |         di.vid AS dst_id
+         |  FROM edges e JOIN ids si ON si.vhash = e.src JOIN ids di ON di.vhash = e.dst),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices FROM ids),
+         |cand AS (
+         |  SELECT src_id, label_id, dst_id, n_vertices,
+         |         (src_id * 1103515245 + dst_id * 2654435769 + label_id * 97 + 12345)
+         |           % n_vertices AS draw
+         |  FROM it, n),
+         |c2 AS (
+         |  SELECT src_id, label_id, dst_id,
+         |         CASE WHEN draw = dst_id THEN (draw + 1) % n_vertices ELSE draw END
+         |           AS neg_dst_id
+         |  FROM cand),
+         |filtered AS (
+         |  SELECT c.* FROM c2 c
+         |  WHERE NOT EXISTS (SELECT 1 FROM it t
+         |                    WHERE t.src_id = c.src_id AND t.label_id = c.label_id
+         |                      AND t.dst_id = c.neg_dst_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_negatives,
+         |       CAST(count(DISTINCT neg_dst_id) AS BIGINT) AS distinct_neg_tails,
+         |       CAST(sum(src_id * 4099 + neg_dst_id) AS BIGINT) AS checksum
+         |FROM filtered""".stripMargin,
 
     "kg_basic" ->
       s"""$edgesCte

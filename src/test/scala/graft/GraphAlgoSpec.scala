@@ -224,4 +224,49 @@ class GraphAlgoSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got("a") == "b" && got("b") == "a" && got("0") == "a")
   }
+
+  test("kHop: min-hop semantics — a shortcut edge wins over the longer path") {
+    // chain a->b->c->d plus shortcut a->c: c is hop 1, d is hop 2; the
+    // 3-walk a->b->c->d must NOT re-derive d at hop 3. Off-label and
+    // off-origin edges are invisible.
+    val e = Seq(
+      ("a", "b", "p"), ("b", "c", "p"), ("c", "d", "p"), ("a", "c", "p"),
+      ("a", "z", "q"),          // wrong label
+      ("w", "a", "p")           // origin w filtered out
+    ).toDF("src", "dst", "label")
+    val got = graft.graph.GraphTables
+      .kHop(e, "p", col("src") === "a", maxHops = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(got == Map(("a", "b") -> 1, ("a", "c") -> 1, ("a", "d") -> 2))
+  }
+
+  test("kHop: duplicate edges dedup; frontier exhausts before maxHops") {
+    val e = Seq(("a", "b", "p"), ("a", "b", "p"), ("b", "c", "p"))
+      .toDF("src", "dst", "label")
+    val got = graft.graph.GraphTables
+      .kHop(e, "p", col("src") === "a", maxHops = 5)
+      .collect().map(r => (r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(("b", 1), ("c", 2)))
+  }
+
+  test("negativeSamples: in-range, never a real edge, shift rule, deterministic") {
+    // 4-vertex id space; triples include a parallel edge (two candidates)
+    val it = Seq((0L, 1L, 1L), (0L, 1L, 1L), (1L, 1L, 2L), (2L, 2L, 3L))
+      .toDF("src_id", "label_id", "dst_id")
+    val n = it.sparkSession.range(1).select(lit(4L).as("n_vertices"))
+    val neg = graft.graph.GraphTables.negativeSamples(it, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // replay the LCG contract row by row
+    def draw(s: Long, l: Long, d: Long): Long = {
+      val raw = (s * 1103515245L + d * 2654435769L + l * 97L + 12345L) % 4L
+      val x = if (raw < 0) raw + 4 else raw
+      if (x == d) (x + 1) % 4 else x
+    }
+    val real = Set((0L, 1L, 1L), (1L, 1L, 2L), (2L, 2L, 3L))
+    val want = Seq((0L, 1L, 1L), (0L, 1L, 1L), (1L, 1L, 2L), (2L, 2L, 3L))
+      .map { case (s, l, d) => (s, l, d, draw(s, l, d)) }
+      .filterNot { case (s, l, _, nd) => real((s, l, nd)) }
+    assert(neg.sorted.toSeq == want.sorted)
+    assert(neg.forall { case (_, _, d, nd) => nd >= 0 && nd < 4 && nd != d })
+  }
 }

@@ -657,4 +657,20 @@ class OpsSpec extends AnyFunSuite {
       .map(_.getString(0)).toSet
     assert(kept == Set("c"))
   }
+
+  test("unigramLogProb: hand-computed corpus unigram means; empty doc drops") {
+    // corpus tokens: a x2, b x2, c x1 -> total 5
+    val d = Seq((1L, "a a b"), (2L, "b c"), (3L, " "))
+      .toDF("doc_id", "text")
+    val got = TextOps.unigramLogProb(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L)) // whitespace-only doc emits nothing
+    assert(got(1L)._1 == 3L && got(2L)._1 == 2L)
+    val lp04 = math.log(2.0 / 5.0)
+    val lp02 = math.log(1.0 / 5.0)
+    assert(math.abs(got(1L)._2 - lp04) < 1e-12) // a,a,b all p=0.4
+    assert(math.abs(got(2L)._2 - (lp04 + lp02) / 2.0) < 1e-12)
+    // rare-token documents score strictly lower than boilerplate
+    assert(got(2L)._2 < got(1L)._2)
+  }
 }
