@@ -247,6 +247,54 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("sim"))
   }
 
+  /** Fixed-iteration Lloyd k-means over an embedding column — the
+    * embedding-clustering primitive (corpus bucketing, IVF list fitting,
+    * topic-ish grouping) in a fully deterministic, engine-portable form:
+    * centroids seed from the `k` lowest ids (the [[ivfSeededTopK]]
+    * convention), then `iters` rounds of (assign, update). Assignment is
+    * MAP-ONLY — a k-way argmin of (round(d2, 6), cid) against a one-row
+    * broadcast centroid array, exactly the IVF list-assignment expression;
+    * the update is a posexplode partial-agg elementwise mean ROUNDED to 6
+    * decimals, so both engines feed bit-identical centroids into the next
+    * round and the integer cluster assignments can never drift on a
+    * sub-ulp difference. A cluster that captures no points drops out of
+    * the next round (standard Lloyd behavior). Returns the final
+    * (id, cluster, d2) assignment.
+    *
+    * Scale shape per round: one broadcast (k·dim doubles), one map-only
+    * pass, one (k·dim)-cell aggregate — no shuffle keyed on anything
+    * larger than (cluster, pos), no driver-side vectors, and `iters`
+    * bounds the job count.
+    */
+  def kmeansLloyd(embs: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0, "need k >= 1, iters >= 0")
+    val e = embs.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    def centDist(vc: Column, vvCol: Column): Column = transform(col("cents"), c =>
+      struct(
+        round(vvCol - lit(2.0) * dot(vc, c.getField("cv"))
+          + dot(c.getField("cv"), c.getField("cv")), 6).as("d2"),
+        c.getField("cid").as("cid")))
+    def assign(cents: DataFrame): DataFrame =
+      e.withColumn("vv", dot(col("v"), col("v")))
+        .crossJoin(broadcast(cents))
+        .withColumn("best", array_min(centDist(col("v"), col("vv"))))
+        .select(col("id"), col("v"),
+          col("best.cid").as("cluster"), col("best.d2").as("d2"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cluster").as("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(round(avg("x"), 6).as("m"))
+        .groupBy("cid")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+    var cents = e.orderBy("id").limit(k)
+      .agg(collect_list(struct(col("id").as("cid"), col("v").as("cv"))).as("cents"))
+    for (_ <- 1 to iters) cents = update(assign(cents))
+    assign(cents).select("id", "cluster", "d2")
+  }
+
   /** Per-group embedding centroids in long form: (group, pos, mean_val, n)
     * — the embedding-QC primitive (drifted or collapsed clusters show up
     * as centroid shifts / shrinking dispersion between snapshots).

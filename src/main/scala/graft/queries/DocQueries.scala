@@ -213,6 +213,18 @@ object DocQueries {
         col("vec_id") < 20, k = 3)
         .orderBy("query_id", "rank")),
 
+    "emb_kmeans" -> ((s, dir) => {
+      // two deterministic Lloyd rounds from the 8 lowest-id seeds; the
+      // oracle unrolls the same two rounds in SQL
+      val a = Similarity.kmeansLloyd(embs(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2)
+      roundDoubles(a.groupBy("cluster").agg(
+        count(lit(1)).as("n_points"),
+        sum("d2").as("inertia"),
+        sum("id").as("id_checksum"))
+        .orderBy("cluster"))
+    }),
+
     "emb_centroids" -> ((s, dir) =>
       // per-label centroid vectors in long form (embedding-QC primitive)
       Similarity.groupCentroids(embs(s, dir), "embedding", "label")
@@ -676,6 +688,41 @@ object DocQueries {
         |  FROM scored)
         |SELECT query_id, CAST(rank AS INT) AS rank, id AS neighbor_id, sim
         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "emb_kmeans" -> {
+      // two Lloyd rounds unrolled; round(avg, 6) after every centroid
+      // update is the cross-engine determinism contract shared with the
+      // Spark op (assignments computed from bit-identical centroids)
+      def assignCte(cents: String, name: String) =
+        s"""$name AS (
+           |  SELECT id, v, cid, d2 FROM (
+           |    SELECT e.id, e.v, c.cid,
+           |           round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+           |                 + list_dot_product(c.cv, c.cv), 6) AS d2,
+           |           row_number() OVER (PARTITION BY e.id ORDER BY
+           |             round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+           |                   + list_dot_product(c.cv, c.cv), 6) ASC, c.cid ASC) AS rn
+           |    FROM e, $cents c) z
+           |  WHERE rn = 1)""".stripMargin
+      def updateCte(assigned: String, u: String, cents: String) =
+        s"""$u AS (
+           |  SELECT cid, i, round(avg(v[i]), 6) AS m
+           |  FROM $assigned, LATERAL unnest(generate_series(1, len(v))) AS t(i)
+           |  GROUP BY cid, i),
+           |$cents AS (SELECT cid, list(m ORDER BY i) AS cv FROM $u GROUP BY cid)""".stripMargin
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT 8),
+         |${assignCte("c0", "a0")},
+         |${updateCte("a0", "u1", "c1")},
+         |${assignCte("c1", "a1")},
+         |${updateCte("a1", "u2", "c2")},
+         |${assignCte("c2", "a2")}
+         |SELECT cid AS cluster,
+         |       CAST(count(*) AS BIGINT) AS n_points,
+         |       CAST(round(sum(d2), 6) AS DOUBLE) AS inertia,
+         |       CAST(sum(id) AS BIGINT) AS id_checksum
+         |FROM a2 GROUP BY cid ORDER BY cluster""".stripMargin
+    },
 
     "emb_dedup_cosine" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -658,6 +658,34 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set("c"))
   }
 
+  test("kmeansLloyd: hand-traced 1-D Lloyd rounds converge to the two gaps") {
+    import graft.ops.Similarity
+    // seeds = ids 0,1 -> [0.0],[1.0]; round 1 pulls {1,10,11} to seed 1,
+    // its centroid moves to 7.333333, round 2 re-splits at the true gap;
+    // final assignment: {0,1} -> cluster 0 at c=0.5, {10,11} -> cluster 1
+    // at c=10.5, every d2 = 0.25
+    val d = Seq((0L, Seq(0.0f)), (1L, Seq(1.0f)), (2L, Seq(10.0f)), (3L, Seq(11.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansLloyd(d, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(0L -> ((0L, 0.25)), 1L -> ((0L, 0.25)),
+      2L -> ((1L, 0.25)), 3L -> ((1L, 0.25))))
+  }
+
+  test("kmeansLloyd: iters=0 assigns against the raw seeds; empty cluster drops") {
+    import graft.ops.Similarity
+    // seeds 0,1 = [0],[100]; everything is nearer seed 0 except id 1 itself
+    val d = Seq((0L, Seq(0.0f)), (1L, Seq(100.0f)), (2L, Seq(1.0f)))
+      .toDF("vec_id", "embedding")
+    val a0 = Similarity.kmeansLloyd(d, "vec_id", "embedding", k = 2, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a0 == Map(0L -> 0L, 1L -> 1L, 2L -> 0L))
+    // one round: centroids [0.5] and [100]; same split, now with moved c0
+    val a1 = Similarity.kmeansLloyd(d, "vec_id", "embedding", k = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(a1 == Map(0L -> ((0L, 0.25)), 1L -> ((1L, 0.0)), 2L -> ((0L, 0.25))))
+  }
+
   test("unigramLogProb: hand-computed corpus unigram means; empty doc drops") {
     // corpus tokens: a x2, b x2, c x1 -> total 5
     val d = Seq((1L, "a a b"), (2L, "b c"), (3L, " "))
