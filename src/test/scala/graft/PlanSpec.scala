@@ -274,4 +274,66 @@ class PlanSpec extends AnyFunSuite {
       s"posting collect (at $collectIdx) must be above the guard join (at $joinIdx):\n" +
         plan.take(1200))
   }
+
+  test("kHop frontier joins are equi-joins, never cartesian/nested-loop") {
+    val e = Seq(("a", "b", "p"), ("b", "c", "p"), ("c", "d", "p"))
+      .toDF("src", "dst", "label")
+    val plan = planOf(graft.graph.GraphTables.kHop(e, "p", col("src") === "a", 3))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("negativeSamples: 1-row vertex count broadcasts; anti-join is equi; zero jobs") {
+    val it = Seq((0L, 1L, 1L), (1L, 1L, 2L)).toDF("src_id", "label_id", "dst_id")
+    val n = it.sparkSession.range(1).select(lit(4L).as("n_vertices"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val plan = try {
+      val p = planOf(graft.graph.GraphTables.negativeSamples(it, n))
+      org.apache.spark.GraftTestBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+      assert(jobs.get() == 0, s"plan construction ran ${jobs.get()} Spark job(s)")
+      p
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // the count rides as a broadcast; the real-edge filter is a hash anti-join
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(800))
+    assert(plan.contains("LeftAnti"), plan.take(800))
+  }
+
+  test("kmeansLloyd: centroid arrays ride broadcasts, assignment never reshuffles points") {
+    val embs = Seq.tabulate(30)(i => (i.toLong, Array.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = planOf(graft.ops.Similarity.kmeansLloyd(embs, "vec_id", "embedding", 2, 1))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(800))
+    // shuffles may come only from the seed/update aggregations, never from
+    // repartitioning the point set by a join key: every exchange is a
+    // single-partition or (cid, pos) aggregate exchange, so no
+    // hashpartitioning on the point id may appear
+    assert(!plan.contains("hashpartitioning(id"), plan.take(1200))
+  }
+
+  test("unigramLogProb: job-free construction; corpus total is broadcast") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val plan = try {
+      val p = planOf(graft.ops.TextOps.unigramLogProb(docs, "doc_id", "text"))
+      org.apache.spark.GraftTestBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+      assert(jobs.get() == 0, s"plan construction ran ${jobs.get()} Spark job(s)")
+      p
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(800))
+  }
 }
