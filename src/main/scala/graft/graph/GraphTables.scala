@@ -189,6 +189,57 @@ object GraphTables {
     all
   }
 
+  /** Deterministic seeded random walks — the DeepWalk/node2vec corpus
+    * generator (Perozzi et al. 2014): `nWalks` walks of `steps` steps start
+    * from every vertex passing `startFilter` (a predicate over `src`), and
+    * at each step the walk at v moves to the neighbor whose rank (position
+    * in v's distinct out-neighbors sorted by id) equals a pseudo-random-
+    * but-reproducible draw `H(origin#walk#step#v) mod out_degree` — a
+    * uniform choice that both engines replay bit-identically, standing in
+    * for the reference protocol's RNG the way the LCG does in
+    * [[negativeSamples]]. A walk reaching a sink vertex stops early.
+    * Returns (origin, walk, step, v) with step 0 = the origin row itself.
+    *
+    * Scale shape: the ranked adjacency is one window over the distinct
+    * edge set (re-used every step); each step is two equi-joins — frontier
+    * x out-degree on the current vertex, then (vertex, draw) = (vertex,
+    * rank) against the adjacency — so the working set is O(#live walks)
+    * rows and `steps` bounds the job count. Hot vertices are naturally
+    * load-balanced: the composite (vertex, rank) key spreads a hub's
+    * incoming walks across its neighbor rows.
+    */
+  def randomWalks(edges: DataFrame, startFilter: Column, nWalks: Int,
+                  steps: Int): DataFrame = {
+    require(nWalks >= 1 && steps >= 1, "need nWalks >= 1, steps >= 1")
+    import graft.ops.TextOps.portableHash64
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val adj = e.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy("dst")) - 1)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val starts = e.where(startFilter).select(col("src").as("origin")).distinct()
+    val w0 = starts
+      .select(col("origin"),
+        explode(sequence(lit(0), lit(nWalks - 1))).as("walk"),
+        lit(0).as("step"), col("origin").as("v"))
+    var all = w0
+    var frontier = w0
+    for (h <- 1 to steps) {
+      val draw = frontier.join(outdeg, frontier("v") === outdeg("src"))
+        .withColumn("idx", pmod(
+          portableHash64(concat_ws("#",
+            col("origin"), col("walk"), lit(h), col("v"))), col("d")))
+        .select(col("origin"), col("walk"), col("v"), col("idx"))
+      val next = draw.join(adj,
+        draw("v") === adj("src") && draw("idx") === adj("rank"))
+        .select(col("origin"), col("walk"), lit(h).as("step"),
+          col("dst").as("v"))
+      all = all.unionByName(next)
+      frontier = next
+    }
+    all
+  }
+
   /** Deterministic negative sampling over an integer-encoded triple table —
     * the corrupted-triple generator of KG-embedding training (TransE-family
     * protocol): for every (src_id, label_id, dst_id), propose the tail

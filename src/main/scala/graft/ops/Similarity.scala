@@ -295,6 +295,48 @@ object Similarity {
     assign(cents).select("id", "cluster", "d2")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with [[kmeansLloyd]],
+    * compare cosine similarity only WITHIN a cluster, and inside every
+    * pair at or above `minCos` drop the point CLOSER to its cluster
+    * centroid — the paper's keep-the-lowest-centroid-similarity exemplar
+    * rule, which preserves the cluster's outer (most diverse) shell.
+    * Ties on the (rounded) centroid distance drop the larger id, so the
+    * survivor set is a pure function of the input. Returns one row per
+    * input point: (id, cluster, d2, dropped).
+    *
+    * Scale shape: the cluster assignment is [[kmeansLloyd]]'s map-only
+    * broadcast argmin; the quadratic pair scan is bounded by cluster size
+    * exactly as SemDeDup bounds it (k grows with the corpus so clusters
+    * stay ~constant — the paper runs 50k clusters over LAION), with
+    * [[graft.ops.Dedup.embeddingCosinePairs]]'s sign-LSH sub-blocking as
+    * the in-plan guard for clusters that outgrow `maxBlock` anyway. The
+    * loser vote and the final membership probe are equi-joins keyed on
+    * point id.
+    */
+  def semDedup(embs: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, minCos: Double,
+               maxBlock: Long = 0L): DataFrame = {
+    val a = kmeansLloyd(embs, idCol, vecCol, k, iters)
+    val e = embs.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    val pts = a.join(e, "id")
+    val pairs = graft.ops.Dedup.embeddingCosinePairs(
+      pts.select(col("id"), col("cluster"), col("v")), "id", "v", "cluster",
+      minCos, maxBlock)
+    val d2s = a.select(col("id"), col("d2"))
+    val scored = pairs
+      .join(d2s.select(col("id").as("a"), col("d2").as("d2a")), "a")
+      .join(d2s.select(col("id").as("b"), col("d2").as("d2b")), "b")
+    val losers = scored.select(
+      when(col("d2a") < col("d2b"), col("a"))
+        .when(col("d2a") > col("d2b"), col("b"))
+        .otherwise(greatest(col("a"), col("b"))).as("id"))
+      .distinct()
+    a.join(losers.withColumn("__loser", lit(true)), Seq("id"), "left")
+      .withColumn("dropped", coalesce(col("__loser"), lit(false)))
+      .drop("__loser")
+  }
+
   /** Per-group embedding centroids in long form: (group, pos, mean_val, n)
     * — the embedding-QC primitive (drifted or collapsed clusters show up
     * as centroid shifts / shrinking dispersion between snapshots).

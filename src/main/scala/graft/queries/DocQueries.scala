@@ -225,6 +225,19 @@ object DocQueries {
         .orderBy("cluster"))
     }),
 
+    "emb_semdedup" -> ((s, dir) => {
+      // SemDeDup over one unrolled Lloyd round (the emb_kmeans contract):
+      // within-cluster cosine >= 0.5 pairs drop the centroid-closer point
+      val d = Similarity.semDedup(embs(s, dir), "vec_id", "embedding",
+        k = 8, iters = 1, minCos = 0.5)
+      roundDoubles(d.groupBy("cluster").agg(
+        count(lit(1)).as("n_points"),
+        count(when(col("dropped"), 1)).as("n_dropped"),
+        coalesce(sum(when(!col("dropped"), col("id"))), lit(0L)).as("kept_checksum"),
+        round(sum("d2"), 6).as("inertia"))
+        .orderBy("cluster"))
+    }),
+
     "emb_centroids" -> ((s, dir) =>
       // per-label centroid vectors in long form (embedding-QC primitive)
       Similarity.groupCentroids(embs(s, dir), "embedding", "label")
@@ -722,6 +735,57 @@ object DocQueries {
          |       CAST(round(sum(d2), 6) AS DOUBLE) AS inertia,
          |       CAST(sum(id) AS BIGINT) AS id_checksum
          |FROM a2 GROUP BY cid ORDER BY cluster""".stripMargin
+    },
+
+    "emb_semdedup" -> {
+      // one Lloyd round unrolled exactly as emb_kmeans, then the SemDeDup
+      // keep rule: within-cluster pairs at cosine >= 0.5 drop the point
+      // with the smaller (rounded) centroid distance, ties drop the
+      // larger id
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT 8),
+         |a0 AS (
+         |  SELECT id, v, cid, d2 FROM (
+         |    SELECT e.id, e.v, c.cid,
+         |           round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+         |                 + list_dot_product(c.cv, c.cv), 6) AS d2,
+         |           row_number() OVER (PARTITION BY e.id ORDER BY
+         |             round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+         |                   + list_dot_product(c.cv, c.cv), 6) ASC, c.cid ASC) AS rn
+         |    FROM e, c0 c) z
+         |  WHERE rn = 1),
+         |u1 AS (
+         |  SELECT cid, i, round(avg(v[i]), 6) AS m
+         |  FROM a0, LATERAL unnest(generate_series(1, len(v))) AS t(i)
+         |  GROUP BY cid, i),
+         |c1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM u1 GROUP BY cid),
+         |a1 AS (
+         |  SELECT id, v, cid, d2 FROM (
+         |    SELECT e.id, e.v, c.cid,
+         |           round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+         |                 + list_dot_product(c.cv, c.cv), 6) AS d2,
+         |           row_number() OVER (PARTITION BY e.id ORDER BY
+         |             round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+         |                   + list_dot_product(c.cv, c.cv), 6) ASC, c.cid ASC) AS rn
+         |    FROM e, c1 c) z
+         |  WHERE rn = 1),
+         |pairs AS (
+         |  SELECT x.id AS a, y.id AS b, x.d2 AS d2a, y.d2 AS d2b
+         |  FROM a1 x JOIN a1 y ON x.cid = y.cid AND x.id < y.id
+         |  WHERE list_dot_product(x.v, y.v) /
+         |        (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.5),
+         |losers AS (
+         |  SELECT DISTINCT CASE WHEN d2a < d2b THEN a
+         |                       WHEN d2a > d2b THEN b
+         |                       ELSE greatest(a, b) END AS id FROM pairs)
+         |SELECT cid AS cluster,
+         |       CAST(count(*) AS BIGINT) AS n_points,
+         |       CAST(count(l.id) AS BIGINT) AS n_dropped,
+         |       CAST(coalesce(sum(CASE WHEN l.id IS NULL THEN a1.id END), 0) AS BIGINT)
+         |         AS kept_checksum,
+         |       CAST(round(sum(d2), 6) AS DOUBLE) AS inertia
+         |FROM a1 LEFT JOIN losers l USING (id)
+         |GROUP BY cid ORDER BY cluster""".stripMargin
     },
 
     "emb_dedup_cosine" ->

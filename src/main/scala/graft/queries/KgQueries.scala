@@ -128,6 +128,20 @@ object KgQueries {
         .orderBy("hops")
     }),
 
+    "kg_walks" -> ((s, dir) => {
+      // DeepWalk-style corpus: 2 seeded walks of 3 steps from the 20
+      // lowest-numbered vertices; per-step visit counts + checksum
+      val w = graft.graph.GraphTables.randomWalks(liEdges(s, dir),
+        substring(col("src"), 2, 10).cast("long") < 20, nWalks = 2, steps = 3)
+      w.groupBy("step").agg(
+        count(lit(1)).as("n_visits"),
+        count_distinct(col("v")).as("n_vertices"),
+        sum(substring(col("v"), 2, 10).cast("long") * 4099L +
+          substring(col("origin"), 2, 10).cast("long") * 31L +
+          col("walk")).as("checksum"))
+        .orderBy("step")
+    }),
+
     "kg_negative_samples" -> ((s, dir) => {
       // filtered tail-corruption negatives over the integer-encoded
       // triple table (one candidate per input edge, parallel edges kept)
@@ -191,6 +205,48 @@ object KgQueries {
          |       CAST(sum(CAST(substr(origin, 2) AS BIGINT) * 4099
          |                + CAST(substr(v, 2) AS BIGINT)) AS BIGINT) AS checksum
          |FROM m GROUP BY hops ORDER BY hops""".stripMargin,
+
+    "kg_walks" ->
+      s"""$edgesCte,
+         |e AS (SELECT DISTINCT src, dst FROM edges),
+         |adj AS (SELECT src, dst,
+         |          CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+         |               AS BIGINT) AS rnk FROM e),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+         |starts AS (SELECT DISTINCT src AS origin FROM e
+         |           WHERE CAST(substr(src, 2) AS BIGINT) < 20),
+         |w0 AS (SELECT origin, CAST(t.walk AS INT) AS walk, origin AS v
+         |       FROM starts, range(0, 2) t(walk)),
+         |w1 AS (
+         |  SELECT f.origin, f.walk, a.dst AS v
+         |  FROM w0 f JOIN od o ON o.src = f.v
+         |  JOIN adj a ON a.src = f.v AND a.rnk =
+         |    (('0x' || substr(md5(f.origin || '#' || CAST(f.walk AS VARCHAR)
+         |       || '#1#' || f.v), 1, 15))::BIGINT % o.d)),
+         |w2 AS (
+         |  SELECT f.origin, f.walk, a.dst AS v
+         |  FROM w1 f JOIN od o ON o.src = f.v
+         |  JOIN adj a ON a.src = f.v AND a.rnk =
+         |    (('0x' || substr(md5(f.origin || '#' || CAST(f.walk AS VARCHAR)
+         |       || '#2#' || f.v), 1, 15))::BIGINT % o.d)),
+         |w3 AS (
+         |  SELECT f.origin, f.walk, a.dst AS v
+         |  FROM w2 f JOIN od o ON o.src = f.v
+         |  JOIN adj a ON a.src = f.v AND a.rnk =
+         |    (('0x' || substr(md5(f.origin || '#' || CAST(f.walk AS VARCHAR)
+         |       || '#3#' || f.v), 1, 15))::BIGINT % o.d)),
+         |w AS (
+         |  SELECT origin, walk, 0 AS step, v FROM w0
+         |  UNION ALL SELECT origin, walk, 1, v FROM w1
+         |  UNION ALL SELECT origin, walk, 2, v FROM w2
+         |  UNION ALL SELECT origin, walk, 3, v FROM w3)
+         |SELECT CAST(step AS INT) AS step,
+         |       CAST(count(*) AS BIGINT) AS n_visits,
+         |       CAST(count(DISTINCT v) AS BIGINT) AS n_vertices,
+         |       CAST(sum(CAST(substr(v, 2) AS BIGINT) * 4099
+         |                + CAST(substr(origin, 2) AS BIGINT) * 31
+         |                + walk) AS BIGINT) AS checksum
+         |FROM w GROUP BY step ORDER BY step""".stripMargin,
 
     "kg_negative_samples" ->
       s"""$edgesCte,

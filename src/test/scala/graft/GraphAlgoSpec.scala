@@ -269,4 +269,40 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(neg.sorted.toSeq == want.sorted)
     assert(neg.forall { case (_, _, d, nd) => nd >= 0 && nd < 4 && nd != d })
   }
+
+  test("randomWalks: single-out-neighbor chain is forced; sink stops early") {
+    // a->b->c->d: every vertex has exactly one out-neighbor, so the hash
+    // draw is always mod 1 = 0 and both walks trace the chain; d is a
+    // sink, so steps=5 still ends at step 3
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val got = graft.graph.GraphTables
+      .randomWalks(e, col("src") === "a", nWalks = 2, steps = 5)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(got == Set(
+      (0, 0, "a"), (0, 1, "b"), (0, 2, "c"), (0, 3, "d"),
+      (1, 0, "a"), (1, 1, "b"), (1, 2, "c"), (1, 3, "d")))
+  }
+
+  test("randomWalks: every transition is a real edge; deterministic replay") {
+    // denser graph: draws actually vary; check walk validity invariants
+    // rather than hand-tracing md5
+    val e = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "a"), ("b", "c"),
+      ("c", "a"), ("c", "d"), ("d", "b"), ("e", "a")).toDF("src", "dst")
+    val edgeSet = Set(("a", "b"), ("a", "c"), ("a", "d"), ("b", "a"),
+      ("b", "c"), ("c", "a"), ("c", "d"), ("d", "b"), ("e", "a"))
+    def run() = graft.graph.GraphTables
+      .randomWalks(e, col("src").isin("a", "e"), nWalks = 3, steps = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val w1 = run()
+    assert(w1.toSet == run().toSet) // bit-identical replay
+    // step 0: one row per (origin, walk); no walk dies (no sinks here)
+    val byWalk = w1.groupBy(t => (t._1, t._2))
+    assert(byWalk.size == 6 && byWalk.values.forall(_.length == 5))
+    byWalk.values.foreach { steps =>
+      val path = steps.sortBy(_._3).map(_._4)
+      assert(path.head == steps.head._1) // step 0 is the origin
+      path.sliding(2).foreach(p => assert(edgeSet((p(0), p(1)))))
+    }
+  }
 }

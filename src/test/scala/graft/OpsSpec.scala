@@ -686,6 +686,35 @@ class OpsSpec extends AnyFunSuite {
     assert(a1 == Map(0L -> ((0L, 0.25)), 1L -> ((1L, 0.0)), 2L -> ((0L, 0.25))))
   }
 
+  test("semDedup: within-cluster dups drop the centroid-closer point") {
+    import graft.ops.Similarity
+    // k=2, iters=1, hand-traced: seeds (1,0),(2,0); after one update the
+    // final clusters are {0,1} (cid 1, centroid (2,0)) and {2,3} (cid 0,
+    // centroid (1/3, 4/3)). Both pairs are colinear (cosine 1), so the
+    // SemDeDup rule keeps the point FARTHER from its centroid: id 0
+    // (d2=1.0 vs 0.0) and id 3 (d2~2.89 vs ~0.22)
+    val d = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.0f, 3.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(d, "vec_id", "embedding", k = 2, iters = 1,
+      minCos = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("dropped")))
+      .toMap
+    assert(got == Map(0L -> false, 1L -> true, 2L -> true, 3L -> false))
+  }
+
+  test("semDedup: equal centroid distance drops the larger id") {
+    import graft.ops.Similarity
+    // k=1: identical points 0 and 1 tie on d2 -> 1 drops; 2 is dissimilar
+    // (cosine 0.707 < 0.9) and survives untouched
+    val d = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(5.0f, 5.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(d, "vec_id", "embedding", k = 1, iters = 1,
+      minCos = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("dropped")))
+      .toMap
+    assert(got == Map(0L -> false, 1L -> true, 2L -> false))
+  }
+
   test("unigramLogProb: hand-computed corpus unigram means; empty doc drops") {
     // corpus tokens: a x2, b x2, c x1 -> total 5
     val d = Seq((1L, "a a b"), (2L, "b c"), (3L, " "))
