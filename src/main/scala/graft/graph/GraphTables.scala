@@ -240,6 +240,90 @@ object GraphTables {
     all
   }
 
+  /** Deterministic second-order biased walks — the node2vec corpus
+    * generator (Grover & Leskovec 2016). Like [[randomWalks]] the draw at
+    * each step is `H(origin#walk#step#prev#v) mod totalWeight`, but the
+    * neighbor choice is weighted by where the walk CAME from: a candidate
+    * x from v with previous vertex t weighs `wReturn` if x == t (the 1/p
+    * return bias), `wCommon` if the capped graph has the edge t -> x (the
+    * distance-1 "BFS" bias), else `wOut` (the 1/q "DFS" bias). Integer
+    * weights keep the cumulative-range arithmetic exact, so both engines
+    * replay bit-identically; (wReturn, wCommon, wOut) = (1, 4, 2) is
+    * node2vec's p = 4, q = 2 scaled to integers. Step 1 has no previous
+    * vertex and is the uniform first-order draw. A walk at a sink stops
+    * early. Returns (origin, walk, step, v) with step 0 = the origin row.
+    *
+    * `maxOutDegree > 0` truncates every adjacency list to its lowest-rank
+    * (by dst id) neighbors — the GraphSAGE-style hub guard. Unlike the
+    * first-order walker, exact second-order sampling must expand the
+    * frontier by out-degree to score each candidate (the weight depends
+    * on the (prev, x) pair, so no (vertex, rank) lookup can skip the
+    * expansion); the cap bounds that working set at
+    * O(live walks x maxOutDegree) rows per step. The expansion joins are
+    * all equi-joins on vertex/pair keys, the scoring window partitions by
+    * (origin, walk) — one live state each, so no skew — and `steps`
+    * bounds the job count.
+    */
+  def node2vecWalks(edges: DataFrame, startFilter: Column, nWalks: Int,
+                    steps: Int, wReturn: Int, wCommon: Int, wOut: Int,
+                    maxOutDegree: Int = 0): DataFrame = {
+    require(nWalks >= 1 && steps >= 1, "need nWalks >= 1, steps >= 1")
+    require(wReturn >= 1 && wCommon >= 1 && wOut >= 1, "weights must be >= 1")
+    import graft.ops.TextOps.portableHash64
+    val W = org.apache.spark.sql.expressions.Window
+    val ranked = edges.select(col("src"), col("dst")).distinct()
+      .withColumn("rank",
+        row_number().over(W.partitionBy("src").orderBy("dst")) - 1)
+    val adj = (if (maxOutDegree > 0) ranked.where(col("rank") < maxOutDegree)
+               else ranked).select(col("src"), col("dst"), col("rank"))
+    val outdeg = adj.groupBy("src").agg(count(lit(1)).as("d"))
+    val starts = adj.where(startFilter).select(col("src").as("origin")).distinct()
+    val w0 = starts
+      .select(col("origin"),
+        explode(sequence(lit(0), lit(nWalks - 1))).as("walk"),
+        lit(0).as("step"), col("origin").as("v"))
+    // step 1: uniform first-order draw (no previous vertex yet)
+    val f1 = w0.join(outdeg, w0("v") === outdeg("src"))
+      .withColumn("idx", pmod(
+        portableHash64(concat_ws("#",
+          col("origin"), col("walk"), lit(1), col("v"))), col("d")))
+      .select(col("origin"), col("walk"), col("v"), col("idx")).as("f")
+      .join(adj.as("a"),
+        col("f.v") === col("a.src") && col("f.idx") === col("a.rank"))
+      .select(col("f.origin").as("origin"), col("f.walk").as("walk"),
+        col("f.v").as("prev"), col("a.dst").as("v"))
+    var all = w0.unionByName(
+      f1.select(col("origin"), col("walk"), lit(1).as("step"), col("v")))
+    var frontier = f1
+    for (h <- 2 to steps) {
+      val cand = frontier.as("f")
+        .join(adj.as("a"), col("f.v") === col("a.src"))
+        .join(adj.select(col("src").as("ts"), col("dst").as("td")).as("t"),
+          col("f.prev") === col("t.ts") && col("a.dst") === col("t.td"), "left")
+        .select(col("f.origin").as("origin"), col("f.walk").as("walk"),
+          col("f.prev").as("prev"), col("f.v").as("v"), col("a.dst").as("x"),
+          when(col("a.dst") === col("f.prev"), lit(wReturn.toLong))
+            .when(col("t.td").isNotNull, lit(wCommon.toLong))
+            .otherwise(lit(wOut.toLong)).as("w"))
+      val byWalk = W.partitionBy("origin", "walk")
+      val next = cand
+        .withColumn("cum", sum("w").over(byWalk.orderBy("x")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("tot", sum("w").over(byWalk))
+        .withColumn("draw", pmod(
+          portableHash64(concat_ws("#",
+            col("origin"), col("walk"), lit(h), col("prev"), col("v"))),
+          col("tot")))
+        .where(col("draw") >= col("cum") - col("w") && col("draw") < col("cum"))
+        .select(col("origin"), col("walk"), col("v").as("prev"),
+          col("x").as("v"))
+      all = all.unionByName(
+        next.select(col("origin"), col("walk"), lit(h).as("step"), col("v")))
+      frontier = next
+    }
+    all
+  }
+
   /** Deterministic negative sampling over an integer-encoded triple table —
     * the corrupted-triple generator of KG-embedding training (TransE-family
     * protocol): for every (src_id, label_id, dst_id), propose the tail

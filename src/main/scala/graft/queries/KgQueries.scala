@@ -142,6 +142,24 @@ object KgQueries {
         .orderBy("step")
     }),
 
+    "kg_node2vec" -> ((s, dir) => {
+      // node2vec corpus (p=4, q=2 as integer weights 1/4/2): 2 seeded
+      // second-order walks of 3 steps from the 20 lowest-numbered
+      // vertices, adjacency capped at 64 neighbors — inert at sf0.01
+      // (~15 out-neighbors/src) and binding at sf0.1 (~146), so
+      // cross-scale runs exercise both guard paths
+      val w = graft.graph.GraphTables.node2vecWalks(liEdges(s, dir),
+        substring(col("src"), 2, 10).cast("long") < 20, nWalks = 2,
+        steps = 3, wReturn = 1, wCommon = 4, wOut = 2, maxOutDegree = 64)
+      w.groupBy("step").agg(
+        count(lit(1)).as("n_visits"),
+        count_distinct(col("v")).as("n_vertices"),
+        sum(substring(col("v"), 2, 10).cast("long") * 4099L +
+          substring(col("origin"), 2, 10).cast("long") * 31L +
+          col("walk")).as("checksum"))
+        .orderBy("step")
+    }),
+
     "kg_negative_samples" -> ((s, dir) => {
       // filtered tail-corruption negatives over the integer-encoded
       // triple table (one candidate per input edge, parallel edges kept)
@@ -235,6 +253,71 @@ object KgQueries {
          |  JOIN adj a ON a.src = f.v AND a.rnk =
          |    (('0x' || substr(md5(f.origin || '#' || CAST(f.walk AS VARCHAR)
          |       || '#3#' || f.v), 1, 15))::BIGINT % o.d)),
+         |w AS (
+         |  SELECT origin, walk, 0 AS step, v FROM w0
+         |  UNION ALL SELECT origin, walk, 1, v FROM w1
+         |  UNION ALL SELECT origin, walk, 2, v FROM w2
+         |  UNION ALL SELECT origin, walk, 3, v FROM w3)
+         |SELECT CAST(step AS INT) AS step,
+         |       CAST(count(*) AS BIGINT) AS n_visits,
+         |       CAST(count(DISTINCT v) AS BIGINT) AS n_vertices,
+         |       CAST(sum(CAST(substr(v, 2) AS BIGINT) * 4099
+         |                + CAST(substr(origin, 2) AS BIGINT) * 31
+         |                + walk) AS BIGINT) AS checksum
+         |FROM w GROUP BY step ORDER BY step""".stripMargin,
+
+    "kg_node2vec" ->
+      s"""$edgesCte,
+         |r AS (SELECT src, dst,
+         |        CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+         |             AS BIGINT) AS rnk
+         |      FROM (SELECT DISTINCT src, dst FROM edges) e0),
+         |adj AS (SELECT * FROM r WHERE rnk < 64),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY src),
+         |starts AS (SELECT DISTINCT src AS origin FROM adj
+         |           WHERE CAST(substr(src, 2) AS BIGINT) < 20),
+         |w0 AS (SELECT origin, CAST(t.walk AS INT) AS walk, origin AS v
+         |       FROM starts, range(0, 2) t(walk)),
+         |w1 AS (
+         |  SELECT f.origin, f.walk, f.v AS prev, a.dst AS v
+         |  FROM w0 f JOIN od o ON o.src = f.v
+         |  JOIN adj a ON a.src = f.v AND a.rnk =
+         |    (('0x' || substr(md5(f.origin || '#' || CAST(f.walk AS VARCHAR)
+         |       || '#1#' || f.v), 1, 15))::BIGINT % o.d)),
+         |c2 AS (
+         |  SELECT f.origin, f.walk, f.prev, f.v, a.dst AS x,
+         |         CAST(CASE WHEN a.dst = f.prev THEN 1
+         |                   WHEN t.dst IS NOT NULL THEN 4
+         |                   ELSE 2 END AS BIGINT) AS w
+         |  FROM w1 f JOIN adj a ON a.src = f.v
+         |  LEFT JOIN adj t ON t.src = f.prev AND t.dst = a.dst),
+         |s2 AS (SELECT *,
+         |         sum(w) OVER (PARTITION BY origin, walk ORDER BY x
+         |                      ROWS UNBOUNDED PRECEDING) AS cum,
+         |         sum(w) OVER (PARTITION BY origin, walk) AS tot
+         |       FROM c2),
+         |w2 AS (
+         |  SELECT origin, walk, v AS prev, x AS v FROM s2
+         |  WHERE (('0x' || substr(md5(origin || '#' || CAST(walk AS VARCHAR)
+         |          || '#2#' || prev || '#' || v), 1, 15))::BIGINT % tot)
+         |        BETWEEN cum - w AND cum - 1),
+         |c3 AS (
+         |  SELECT f.origin, f.walk, f.prev, f.v, a.dst AS x,
+         |         CAST(CASE WHEN a.dst = f.prev THEN 1
+         |                   WHEN t.dst IS NOT NULL THEN 4
+         |                   ELSE 2 END AS BIGINT) AS w
+         |  FROM w2 f JOIN adj a ON a.src = f.v
+         |  LEFT JOIN adj t ON t.src = f.prev AND t.dst = a.dst),
+         |s3 AS (SELECT *,
+         |         sum(w) OVER (PARTITION BY origin, walk ORDER BY x
+         |                      ROWS UNBOUNDED PRECEDING) AS cum,
+         |         sum(w) OVER (PARTITION BY origin, walk) AS tot
+         |       FROM c3),
+         |w3 AS (
+         |  SELECT origin, walk, v AS prev, x AS v FROM s3
+         |  WHERE (('0x' || substr(md5(origin || '#' || CAST(walk AS VARCHAR)
+         |          || '#3#' || prev || '#' || v), 1, 15))::BIGINT % tot)
+         |        BETWEEN cum - w AND cum - 1),
          |w AS (
          |  SELECT origin, walk, 0 AS step, v FROM w0
          |  UNION ALL SELECT origin, walk, 1, v FROM w1

@@ -283,6 +283,46 @@ class GraphAlgoSpec extends AnyFunSuite {
       (1, 0, "a"), (1, 1, "b"), (1, 2, "c"), (1, 3, "d")))
   }
 
+  test("node2vecWalks: maxOutDegree=1 forces the min-dst chain; sink stops early") {
+    // capped to 1 neighbor, every adjacency list keeps only its lowest
+    // dst, so any weights give a forced walk: a->b (not a->z), b->c, c is
+    // a sink on the capped graph once c->d is its only (kept) edge
+    val e = Seq(("a", "z"), ("a", "b"), ("b", "c"), ("b", "x"), ("c", "d"))
+      .toDF("src", "dst")
+    val got = graft.graph.GraphTables
+      .node2vecWalks(e, col("src") === "a", nWalks = 2, steps = 5,
+        wReturn = 1, wCommon = 4, wOut = 2, maxOutDegree = 1)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(got == Set(
+      (0, 0, "a"), (0, 1, "b"), (0, 2, "c"), (0, 3, "d"),
+      (1, 0, "a"), (1, 1, "b"), (1, 2, "c"), (1, 3, "d")))
+  }
+
+  test("node2vecWalks: transitions are real edges, replay is exact, bias binds") {
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("a", "d"), ("b", "a"), ("b", "c"),
+      ("c", "a"), ("c", "d"), ("d", "b"), ("d", "a"), ("e", "a"))
+    val e = edges.toDF("src", "dst")
+    val edgeSet = edges.toSet
+    def run(wr: Int, wc: Int, wo: Int) = graft.graph.GraphTables
+      .node2vecWalks(e, col("src").isin("a", "e"), nWalks = 4, steps = 4,
+        wReturn = wr, wCommon = wc, wOut = wo)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val w1 = run(1, 4, 2)
+    assert(w1.toSet == run(1, 4, 2).toSet) // bit-identical replay
+    // no sinks: all 8 (origin, walk) pairs survive all 4 steps
+    val byWalk = w1.groupBy(t => (t._1, t._2))
+    assert(byWalk.size == 8 && byWalk.values.forall(_.length == 5))
+    byWalk.values.foreach { steps =>
+      val path = steps.sortBy(_._3).map(_._4)
+      assert(path.head == steps.head._1) // step 0 is the origin
+      path.sliding(2).foreach(p => assert(edgeSet((p(0), p(1)))))
+    }
+    // the weights participate in the draw: skewing return-vs-out flips
+    // at least one transition on this graph
+    assert(w1.toSet != run(9, 1, 1).toSet)
+  }
+
   test("randomWalks: every transition is a real edge; deterministic replay") {
     // denser graph: draws actually vary; check walk validity invariants
     // rather than hand-tracing md5
