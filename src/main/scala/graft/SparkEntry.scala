@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.GraphQueries2.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.EventQueries.queries ++
-      graft.queries.SearchQueries.queries
+      graft.queries.SearchQueries.queries ++
+      graft.queries.ConstructQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.GraphQueries2.oracleSql ++
       graft.queries.CurationQueries.oracleSql ++
       graft.queries.EventQueries.oracleSql ++
-      graft.queries.SearchQueries.oracleSql
+      graft.queries.SearchQueries.oracleSql ++
+      graft.queries.ConstructQueries.oracleSql
 }

@@ -1,0 +1,50 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Triple reconciliation across extractors/sources, and schema induction —
+  * the "fuse then summarize" tail of KG construction (engine additions on
+  * the transcripts->graph path; lodcc assumes a single already-merged
+  * edge list).
+  */
+object Fusion {
+
+  /** Fuse duplicate (src, label, dst) assertions from multiple sources into
+    * one row per triple with provenance counts and a noisy-or confidence:
+    * independent sources each asserting with reliability w combine to
+    * 1 - prod(1 - w_i), folded as exp(sum(ln(1 - w))) so the product is a
+    * single map-side-combinable aggregate (no per-group array collection —
+    * a triple asserted by millions of rows still aggregates in O(1) state).
+    *
+    * One shuffle, keyed on the triple itself; parallel assertions of one
+    * triple are exactly the duplicates being merged, so the key cardinality
+    * is the output size and hot keys collapse INTO the combine.
+    *
+    * `wCol` must be in (0, 1) — ln(1-w) requires it; enforce upstream.
+    */
+  def tripleFusion(triples: DataFrame, srcCol: String, wCol: String): DataFrame =
+    triples.groupBy("src", "label", "dst").agg(
+      count_distinct(col(srcCol)).as("n_sources"),
+      count(lit(1)).as("n_assertions"),
+      (lit(1.0) - exp(sum(log(lit(1.0) - col(wCol))))).as("confidence"))
+
+  /** Schema induction over a typed edge list: one row per
+    * (class(src), label, class(dst)) with the assertion count and the
+    * distinct instance-pair count — the class-level summary an ontology
+    * view of the KG needs. `classOf` maps a vertex id column to its class
+    * (e.g. an rdf:type lookup or a deterministic id rule).
+    *
+    * Distinct-pair counting runs as a two-level aggregation (exact
+    * distinct on the grouped key, partial-combined), never a
+    * collect_set; class-space output is tiny by construction.
+    */
+  def schemaStats(edges: DataFrame, classOf: Column => Column): DataFrame =
+    edges.select(
+        classOf(col("src")).as("src_class"), col("label"),
+        classOf(col("dst")).as("dst_class"),
+        concat_ws("|", col("src"), col("dst")).as("__pair"))
+      .groupBy("src_class", "label", "dst_class").agg(
+        count(lit(1)).as("n_assertions"),
+        count_distinct(col("__pair")).as("n_distinct_pairs"))
+}

@@ -336,4 +336,47 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
       plan.take(800))
   }
+
+  test("coref: single window pass, no join anywhere in the plan") {
+    val turns = Seq((1, 1, "Tell me about Ada Lovelace."), (1, 2, "and they"))
+      .toDF("conv", "idx", "text")
+    val plan = planOf(graft.extract.Coref.resolve(turns, "conv", "idx", "text"))
+    assert(!plan.contains("Join"), plan.take(800))
+    assert(plan.contains("Window"), plan.take(800))
+  }
+
+  test("link prediction: wedge join is an equi-join, degree joins broadcast") {
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val plan = planOf(graft.graph.LinkPredict.scores(e, maxHubDeg = 8))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      plan.take(1200))
+    assert(plan.contains("BroadcastExchange"), plan.take(1200)) // deg(a)/deg(b)
+  }
+
+  test("dsir: bucket log-ratio table joins back as a broadcast, job-free construction") {
+    val d = Seq((1L, "x y", "en")).toDF("doc_id", "text", "lang")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val plan = try {
+      val p = planOf(graft.ops.Dsir.importanceWeights(
+        d, "doc_id", "text", col("lang") === "en", buckets = 16))
+      org.apache.spark.GraftTestBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+      assert(jobs.get() == 0, s"plan construction ran ${jobs.get()} Spark job(s)")
+      p
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(plan.contains("BroadcastExchange"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("triple fusion: one exchange on the triple key, partial aggregation first") {
+    val t = Seq(("v1", "p", "v2", "s1", 0.5)).toDF("src", "label", "dst", "source", "w")
+    val plan = planOf(graft.graph.Fusion.tripleFusion(t, "source", "w"))
+    // partial_ aggregates before the exchange = map-side combine is on
+    assert(plan.contains("partial_"), plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
 }
