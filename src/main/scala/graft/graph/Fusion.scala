@@ -47,4 +47,39 @@ object Fusion {
       .groupBy("src_class", "label", "dst_class").agg(
         count(lit(1)).as("n_assertions"),
         count_distinct(col("__pair")).as("n_distinct_pairs"))
+
+  /** Per-vertex degree evolution between two snapshots of the graph (the
+    * KG-maintenance diff after an incremental build): a full-outer
+    * equi-join of the two degree aggregates, so vertices that appear or
+    * disappear carry an explicit 0 on the missing side. Both inputs
+    * aggregate with map-side combine before the single join; nothing is
+    * proportional to edge count after the two degree shuffles.
+    */
+  def degreeDelta(before: DataFrame, after: DataFrame): DataFrame = {
+    def deg(e: DataFrame) = e
+      .select(explode(array(col("src"), col("dst"))).as("vertex"))
+      .groupBy("vertex").agg(count(lit(1)).as("d"))
+    deg(before).select(col("vertex"), col("d").as("deg_before"))
+      .join(deg(after).select(col("vertex"), col("d").as("deg_after")),
+        Seq("vertex"), "full_outer")
+      .select(col("vertex"),
+        coalesce(col("deg_before"), lit(0L)).as("deg_before"),
+        coalesce(col("deg_after"), lit(0L)).as("deg_after"))
+      .withColumn("delta", col("deg_after") - col("deg_before"))
+  }
+
+  /** Distinct-edge churn between two snapshots: edges added, removed, and
+    * carried over — three anti/semi equi-joins on the (src, label, dst)
+    * key, returned as one summary row.
+    */
+  def edgeChurn(before: DataFrame, after: DataFrame): DataFrame = {
+    val key = Seq("src", "label", "dst")
+    val b = before.select("src", "label", "dst").distinct()
+    val a = after.select("src", "label", "dst").distinct()
+    val added = a.join(b, key, "left_anti").agg(count(lit(1)).as("n_added"))
+    val removed = b.join(a, key, "left_anti").agg(count(lit(1)).as("n_removed"))
+    b.agg(count(lit(1)).as("n_edges_before"))
+      .crossJoin(a.agg(count(lit(1)).as("n_edges_after")))
+      .crossJoin(added).crossJoin(removed)
+  }
 }

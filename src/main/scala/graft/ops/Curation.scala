@@ -390,4 +390,44 @@ object Curation {
     docs.join(broadcast(rates), strataCol)
       .where(draw < floor(col("keep_rate") * 1000000L).cast("long"))
   }
+
+  /** C4/RefinedWeb-style boilerplate line removal: a line that occurs in at
+    * least `minDocs` distinct documents (nav bars, cookie banners,
+    * subscribe/footer text) is dropped from EVERY document; survivors are
+    * reassembled in original line order. Returns one row per input document:
+    * (idCol, n_lines_kept, n_lines_removed, text_clean).
+    *
+    * Scale shape: the document-frequency aggregation shuffles 8-byte line
+    * hashes (never line text), with map-side partial aggregation; the
+    * boilerplate set — high-DF lines, small by definition — joins back as a
+    * BROADCAST flag, so classification is map-side; the reassembly groupBy
+    * is keyed on the document id (bounded lines per doc, no hot keys).
+    * Hash collision class: portable 60-bit line digest, same acceptance as
+    * the md5-keyed dedup family.
+    *
+    * `lineSep` is a regex (Spark split semantics); reassembly joins with
+    * `joinSep`.
+    */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                        minDocs: Long, lineSep: String = "\n",
+                        joinSep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), lineSep)).as(Seq("pos", "line")))
+      .withColumn("h", TextOps.portableHash64(col("line")))
+    val boiler = lines.groupBy("h")
+      .agg(count_distinct(col(idCol)).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("h"), lit(true).as("__boiler"))
+    lines.join(broadcast(boiler), Seq("h"), "left")
+      .groupBy(idCol).agg(
+        sum(when(col("__boiler"), 0L).otherwise(1L)).as("n_lines_kept"),
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_lines_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__boiler").isNull, struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          joinSep).as("text_clean"))
+  }
 }

@@ -109,6 +109,67 @@ object ConstructQueries {
       roundDoubles(w.select(col("doc_id"), col("n_tokens"), col("weight"))
         .orderBy(desc("weight"), col("doc_id")).limit(20))
     }),
+
+    "doc_boilerplate" -> ((s, dir) => {
+      // multi-line corpus: 6-token body lines framed by a shared header and
+      // footer (every doc), so the DF >= 40 guard provably binds on both
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val toks = split(col("text"), " +")
+      val nl = floor((size(toks) + lit(5)) / lit(6.0)).cast("int")
+      val body = array_join(
+        transform(sequence(lit(0), nl - 1),
+          i => array_join(slice(toks, i * 6 + 1, lit(6)), " ")), "\n")
+      val d2 = d.withColumn("text2",
+        concat(lit("subscribe to our newsletter\n"), body,
+          lit("\nall rights reserved")))
+      val rb = graft.ops.Curation.removeBoilerplate(d2, "doc_id", "text2",
+        minDocs = 40L)
+      rb.agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_lines_kept").as("lines_kept"),
+        sum("n_lines_removed").as("lines_removed"),
+        sum(length(col("text_clean"))).as("clean_chars"),
+        sum(pmod(graft.ops.TextOps.portableHash64(col("text_clean")),
+          lit(1000003L))).as("clean_checksum"))
+    }),
+
+    "kg_snapshot_diff" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet").select(
+        concat(lit("v"), (col("l_orderkey") % 4096).cast("string")).as("src"),
+        concat(lit("v"), (col("l_partkey") % 4096).cast("string")).as("dst"),
+        concat(lit("p"), (col("l_suppkey") % 7).cast("string")).as("label"),
+        col("l_linenumber").as("ln"))
+      val before = li.where(col("ln") <= 4).drop("ln")
+      val after = li.where(col("ln") >= 2).drop("ln")
+      val dd = Fusion.degreeDelta(before, after).agg(
+        sum(when(col("deg_before") === 0, 1L).otherwise(0L)).as("n_vertices_gained"),
+        sum(when(col("deg_after") === 0, 1L).otherwise(0L)).as("n_vertices_lost"),
+        max("delta").as("max_delta"),
+        sum(abs(col("delta"))).as("sum_abs_delta"))
+      Fusion.edgeChurn(before, after).crossJoin(dd)
+    }),
+
+    "doc_ccnet_buckets" -> ((s, dir) => {
+      // CCNet-style head/middle/tail perplexity partition per language;
+      // per-doc mean logprob rounded to 6dp BEFORE ranking so the ntile
+      // boundary can never flip on a sub-1e-6 engine difference
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val scored = graft.ops.TextOps.unigramLogProb(d, "doc_id", "text")
+        .withColumn("lp", round(col("mean_logprob"), 6))
+      val wl = scored.join(d.select(col("doc_id").as("id"), col("lang")), "id")
+      val nt = wl.withColumn("b", ntile(3).over(
+        Window.partitionBy("lang").orderBy(col("lp").desc, col("id"))))
+      roundDoubles(nt
+        .withColumn("bucket",
+          when(col("b") === 1, "head").when(col("b") === 2, "middle")
+            .otherwise("tail"))
+        .groupBy("lang", "bucket").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          min("lp").as("min_logprob"),
+          max("lp").as("max_logprob"))
+        .orderBy("lang", "bucket"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -222,5 +283,91 @@ object ConstructQueries {
         |FROM toks k JOIN lr l ON l.b = k.b
         |GROUP BY k.doc_id
         |ORDER BY weight DESC, k.doc_id LIMIT 20""".stripMargin,
+
+    "doc_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS l FROM documents),
+        |body AS (
+        |  SELECT doc_id, CAST(i + 1 AS INT) AS pos,
+        |         array_to_string(l[i*6+1:i*6+6], ' ') AS line
+        |  FROM t, LATERAL unnest(generate_series(0, (len(l)+5)//6 - 1)) g(i)),
+        |alll AS (
+        |  SELECT doc_id, 0 AS pos, 'subscribe to our newsletter' AS line FROM t
+        |  UNION ALL SELECT doc_id, pos, line FROM body
+        |  UNION ALL SELECT doc_id, CAST((len(l)+5)//6 + 1 AS INT) AS pos,
+        |            'all rights reserved' AS line FROM t),
+        |h AS (SELECT doc_id, pos, line,
+        |             ('0x' || substr(md5(line), 1, 15))::BIGINT AS hh FROM alll),
+        |boiler AS (SELECT hh FROM h GROUP BY hh HAVING count(DISTINCT doc_id) >= 40),
+        |flag AS (SELECT doc_id, pos, line,
+        |                hh IN (SELECT hh FROM boiler) AS b FROM h),
+        |perdoc AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) FILTER (WHERE NOT b) AS BIGINT) AS kept,
+        |    CAST(count(*) FILTER (WHERE b) AS BIGINT) AS removed,
+        |    coalesce(string_agg(CASE WHEN NOT b THEN line END, chr(10) ORDER BY pos), '') AS text_clean
+        |  FROM flag GROUP BY doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(kept) AS BIGINT) AS lines_kept,
+        |       CAST(sum(removed) AS BIGINT) AS lines_removed,
+        |       CAST(sum(length(text_clean)) AS BIGINT) AS clean_chars,
+        |       CAST(sum(('0x' || substr(md5(text_clean), 1, 15))::BIGINT % 1000003) AS BIGINT) AS clean_checksum
+        |FROM perdoc""".stripMargin,
+
+    "kg_snapshot_diff" ->
+      """WITH li AS (
+        |  SELECT 'v' || (l_orderkey % 4096) AS src,
+        |         'v' || (l_partkey % 4096) AS dst,
+        |         'p' || (l_suppkey % 7) AS label,
+        |         l_linenumber AS ln
+        |  FROM lineitem),
+        |b AS (SELECT src, dst, label FROM li WHERE ln <= 4),
+        |a AS (SELECT src, dst, label FROM li WHERE ln >= 2),
+        |bd AS (SELECT DISTINCT src, label, dst FROM b),
+        |ad AS (SELECT DISTINCT src, label, dst FROM a),
+        |degb AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+        |         (SELECT src AS v FROM b UNION ALL SELECT dst FROM b) u GROUP BY v),
+        |dega AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+        |         (SELECT src AS v FROM a UNION ALL SELECT dst FROM a) u GROUP BY v),
+        |dd AS (
+        |  SELECT coalesce(degb.d, 0) AS db, coalesce(dega.d, 0) AS da
+        |  FROM degb FULL OUTER JOIN dega ON degb.v = dega.v)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM bd) AS n_edges_before,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ad) AS n_edges_after,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ad WHERE NOT EXISTS
+        |    (SELECT 1 FROM bd WHERE bd.src = ad.src AND bd.label = ad.label
+        |       AND bd.dst = ad.dst)) AS n_added,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM bd WHERE NOT EXISTS
+        |    (SELECT 1 FROM ad WHERE ad.src = bd.src AND ad.label = bd.label
+        |       AND ad.dst = bd.dst)) AS n_removed,
+        |  (SELECT CAST(count(*) FILTER (WHERE db = 0) AS BIGINT) FROM dd) AS n_vertices_gained,
+        |  (SELECT CAST(count(*) FILTER (WHERE da = 0) AS BIGINT) FROM dd) AS n_vertices_lost,
+        |  (SELECT CAST(max(da - db) AS BIGINT) FROM dd) AS max_delta,
+        |  (SELECT CAST(sum(abs(da - db)) AS BIGINT) FROM dd) AS sum_abs_delta""".stripMargin,
+
+    "doc_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, term
+        |  FROM documents, unnest(string_split_regex(text, ' +')) AS t(term)
+        |  WHERE term <> ''),
+        |counts AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY term),
+        |tot AS (SELECT sum(c) AS total FROM counts),
+        |scored AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         round(avg(ln(c / total)), 6) AS lp
+        |  FROM toks JOIN counts USING (term), tot
+        |  GROUP BY doc_id),
+        |wl AS (SELECT d.lang, s.doc_id, s.n_tokens, s.lp
+        |       FROM documents d JOIN scored s USING (doc_id)),
+        |nt AS (SELECT lang, n_tokens, lp,
+        |              ntile(3) OVER (PARTITION BY lang ORDER BY lp DESC, doc_id) AS b
+        |       FROM wl)
+        |SELECT lang,
+        |       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(min(lp) AS DOUBLE) AS min_logprob,
+        |       CAST(max(lp) AS DOUBLE) AS max_logprob
+        |FROM nt GROUP BY lang, b ORDER BY lang, bucket""".stripMargin,
   )
 }

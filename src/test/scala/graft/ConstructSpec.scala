@@ -125,4 +125,52 @@ class ConstructSpec extends AnyFunSuite {
     // target-heavy doc outranks off-target doc
     assert(got(1L)._2 > got(3L)._2 && got(3L)._2 > got(2L)._2)
   }
+
+  // -------------------------------------------------------- removeBoilerplate
+
+  test("boilerplate removal: high-DF lines drop everywhere, order is preserved") {
+    val d = Seq(
+      (1L, "footer\nalpha one\nbeta two\nfooter"),
+      (2L, "footer\ngamma three"),
+      (3L, "delta four\nfooter"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Curation.removeBoilerplate(d, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == (2L, 2L, "alpha one\nbeta two")) // both copies removed
+    assert(got(2L) == (1L, 1L, "gamma three"))
+    assert(got(3L) == (1L, 1L, "delta four"))
+  }
+
+  test("boilerplate removal: below-threshold duplicates survive; all-removed doc yields empty text") {
+    val d = Seq(
+      (1L, "shared\nunique a"), (2L, "shared\nunique b"), (3L, "shared"))
+      .toDF("doc_id", "text")
+    // minDocs=4 > DF(shared)=3: nothing removed
+    val keep = graft.ops.Curation.removeBoilerplate(d, "doc_id", "text", minDocs = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(keep.values.forall(_ == 0L))
+    // minDocs=3: doc 3 loses its only line -> empty clean text, still present
+    val got = graft.ops.Curation.removeBoilerplate(d, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(got(3L) == (0L, ""))
+    assert(got(1L) == (1L, "unique a"))
+  }
+
+  // ------------------------------------------------------------ snapshot diff
+
+  test("degreeDelta and edgeChurn: exact closed form on a hand diff") {
+    val before = Seq(("a", "p", "b"), ("a", "p", "c"), ("a", "p", "c"))
+      .toDF("src", "label", "dst")
+    val after = Seq(("a", "p", "c"), ("b", "p", "c"), ("d", "q", "a"))
+      .toDF("src", "label", "dst")
+    val dd = graft.graph.Fusion.degreeDelta(before, after).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(dd("a") == (3L, 2L, -1L)) // a,p,c dup counts twice before
+    assert(dd("b") == (1L, 1L, 0L))
+    assert(dd("c") == (2L, 2L, 0L))
+    assert(dd("d") == (0L, 1L, 1L)) // appears only after
+    val ch = graft.graph.Fusion.edgeChurn(before, after).head()
+    assert(ch.getLong(0) == 2L && ch.getLong(1) == 3L) // distinct edges
+    assert(ch.getLong(2) == 2L && ch.getLong(3) == 1L) // added b-c,d-a; removed a-b
+  }
 }
