@@ -199,14 +199,20 @@ object Dedup {
     // so the md5 per shingle is computed once, not once per coefficient
     // (k+1 interpreted re-evaluations of the md5 transform was a 10x
     // regression at sf0.1)
-    val hashed = docs.select(col(idCol).as("id"),
-      array_distinct(transform(idx,
-        i => TextOps.portableHash31(array_join(slice(toks, i + 1, lit(shingleK)), " "))))
-        .as("hs"))
+    val hashed = docs.where(size(toks) >= shingleK)
+      .select(col(idCol).as("id"),
+        array_distinct(transform(idx,
+          i => TextOps.portableHash31(array_join(slice(toks, i + 1, lit(shingleK)), " "))))
+          .as("hs"))
     val sigs = array(MinhashCoeffs.map { case (a, b) =>
       array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % MinhashPrime))
     }: _*)
-    hashed.where(size(col("hs")) > 0).select(col("id"), sigs.as("mhs"))
+    // the short-doc filter tests the CHEAP precursor (token count), never
+    // size(hs): a size(hs) > 0 filter gets predicate-pushed below any
+    // downstream exchange with the whole md5-shingle transform INLINED into
+    // the filter condition — one full extra hashing pass per row per plan
+    // branch (the sf0.1 plan audit showed exactly that)
+    hashed.select(col("id"), sigs.as("mhs"))
   }
 
   /** Composed-operator twin of [[minhashSignatures]] (cross-check). */
@@ -325,8 +331,15 @@ object Dedup {
     val withSigs = sigArrays.select(col("id"),
       xxhash64(col("mhs")).as("fullsig"), bandsCol.as("__bands"))
       .repartition(col("id"))
+    // explode_OUTER, deliberately: __bands is never empty (nb >= 1 for the
+    // fixed-k signature array), but plain explode triggers
+    // InferFiltersFromGenerate, whose size(__bands) > 0 predicate gets
+    // pushed below the exchange with the ENTIRE bands+minhash+md5 tree
+    // inlined into the filter — re-hashing every shingle of every row once
+    // more per plan branch (measured 45x wall-time at sf0.1). The outer
+    // generate has identical output here and infers nothing.
     def explodeBands(df: DataFrame): DataFrame =
-      df.select(col("id"), explode(col("__bands")).as("__b"))
+      df.select(col("id"), explode_outer(col("__bands")).as("__b"))
         .select(col("id"), col("__b.band").as("band"), col("__b.sig").as("sig"))
     def bandPairs(b: DataFrame): DataFrame =
       b.as("x").join(b.as("y"),
