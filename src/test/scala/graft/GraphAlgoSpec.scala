@@ -88,7 +88,10 @@ class GraphAlgoSpec extends AnyFunSuite {
             n.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
       }
       spark.sparkContext.addSparkListener(l)
-      try { body; Thread.sleep(500) } // listener bus drains async
+      // drain the async listener bus deterministically (same contract as
+      // PlanSpec's zero-job gates; a fixed sleep can miss late task-end
+      // events under load and under-count one side of the comparison)
+      try { body; org.apache.spark.GraftTestBridge.waitUntilListenerBusEmpty(spark.sparkContext) }
       finally spark.sparkContext.removeSparkListener(l)
       n.get
     }
