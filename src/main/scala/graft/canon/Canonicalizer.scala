@@ -133,6 +133,131 @@ object Canonicalizer {
       .select(col("surface"), coalesce(col("component"), col("surface")).as("canonical"))
   }
 
+  /** Incremental canonicalization with STABLE ids across snapshot builds —
+    * the production contract of a daily KG rebuild: surfaces already in
+    * `prior` keep their assignment verbatim (never re-clustered, never
+    * renamed), and only genuinely new surfaces are resolved.
+    *
+    * Inputs: `prior` = (surface, canonical) from the previous build, with
+    * canonical ∈ prior surfaces (it is the min member, as [[canonicalize]]
+    * emits); `newSurfaces` = the current batch (prior members are
+    * anti-joined out). Returns (surface, canonical) for the NEW surfaces
+    * only — the updated dictionary is `prior UNION result`.
+    *
+    * Rules (all deterministic):
+    *  - a new surface connects to other new surfaces and to prior surfaces
+    *    by the SAME edge semantics as the batch path: identical normalized
+    *    form (star edges through the group hub) or MinHash-LSH band
+    *    collision verified at char-shingle Jaccard >= minJ;
+    *  - prior endpoints are replaced by their canonical id (anchor) BEFORE
+    *    the connected-components merge, so prior clusters participate as
+    *    single anchor vertices — a prior cluster's internal structure is
+    *    never recomputed;
+    *  - a component containing >= 1 anchor assigns its new members the
+    *    MINIMUM anchor id (the bridge rule: one new surface near two prior
+    *    clusters inherits the smaller id; the prior clusters themselves
+    *    stay distinct — stability beats global re-optimality, the standard
+    *    production trade);
+    *  - an anchor-free component mints its min member, exactly like the
+    *    batch path; an edge-free new surface is its own canonical form.
+    *
+    * Scale shape: the prior table is touched by exactly ONE map-only
+    * projection pass (normalize + shingle-hash + signature arrays — no
+    * shuffle of prior rows except the band-bucket join itself, which is
+    * keyed on 8-byte digests); at a daily-build cadence the prior band
+    * table ([[graft.ops.Dedup.bandTable]]) and norm table are natural
+    * TableIO snapshot citizens, making the increment independent of
+    * |prior| entirely. The candidate join is new-side-driven (every pair
+    * has >= 1 new surface — prior x prior pairs are never generated), so
+    * pair volume is bounded by the new batch's bucket collisions, not the
+    * corpus size.
+    */
+  def incrementalCanonicalize(prior: DataFrame, newSurfaces: DataFrame,
+                              shingleK: Int = 3, rowsPerBand: Int = 2,
+                              minJ: Double = 0.5): DataFrame = {
+    val k = shingleK
+    // both sides of the increment are consumed by several joins below —
+    // materialize each ONCE (pm: anti-join, anchor-replace x2, anchor set;
+    // ps: norm-star semi-join, band table, shingle table) instead of
+    // re-running the upstream scan per consumer
+    val pm = prior.select(col("surface"), col("canonical")).cache()
+    val ps = pm.select(col("surface"))
+      .withColumn("norm", Extractor.normalizeCol(col("surface")))
+      .cache()
+    val nw = newSurfaces.select(col("surface")).distinct()
+      .join(pm.select(col("surface")), Seq("surface"), "left_anti")
+      .withColumn("norm", Extractor.normalizeCol(col("surface")))
+      .cache()
+
+    // (a) exact-norm star edges over {new} ∪ {prior sharing a new norm}
+    val tnorm = nw.select(col("norm")).distinct()
+    val grp = nw.select(col("surface"), col("norm")).unionByName(
+      ps.join(tnorm, Seq("norm"), "left_semi").select(col("surface"), col("norm")))
+    val hubs = grp.groupBy("norm").agg(min("surface").as("h"))
+    val normEdges = grp.join(hubs, "norm")
+      .where(col("surface") =!= col("h"))
+      .select(col("h").as("src"), col("surface").as("dst"))
+
+    // (b) LSH candidates, new-side-driven: new bands join ALL bands
+    def withHs(df: DataFrame): DataFrame = {
+      val idx = when(length(col("norm")) >= k,
+        sequence(lit(1), length(col("norm")) - (k - 1)))
+        .otherwise(array(lit(1)))
+      df.withColumn("hs", array_distinct(transform(idx,
+        i => TextOps.portableHash31(col("norm").substr(i, lit(k))))))
+    }
+    def sigArrays(df: DataFrame): DataFrame =
+      df.select(col("surface").as("id"),
+        array(Dedup.MinhashCoeffs.map { case (a, b) =>
+          array_min(transform(col("hs"),
+            h => (lit(a) * h + lit(b)) % Dedup.MinhashPrime))
+        }: _*).as("mhs"))
+    val hsNew = withHs(nw).cache()
+    val hsPrior = withHs(ps)
+    val bNew = Dedup.bandTable(sigArrays(hsNew), rowsPerBand)
+    val bAll = bNew.unionByName(Dedup.bandTable(sigArrays(hsPrior), rowsPerBand))
+    val cands = bNew.as("x").join(bAll.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"))
+      .distinct()
+
+    // verify candidates at char-shingle Jaccard >= minJ
+    val sh = hsNew.select(col("surface").as("id"), col("hs"))
+      .unionByName(hsPrior.select(col("surface").as("id"), col("hs")))
+      .select(col("id"), explode(col("hs")).as("h"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val verified = cands
+      .join(sh.select(col("id").as("a"), col("h")), "a")
+      .join(sh.select(col("id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("a"), col("sz").as("sa")), "a")
+      .join(sizes.select(col("id").as("b"), col("sz").as("sb")), "b")
+      .where(col("inter").cast("double") / (col("sa") + col("sb") - col("inter")) >= minJ)
+      .select(col("a").as("src"), col("b").as("dst"))
+
+    // anchor-replace prior endpoints, then one CC merge
+    val edges0 = normEdges.union(verified)
+    def anchorMap(alias: String): DataFrame =
+      pm.select(col("surface").as(alias), col("canonical").as(s"${alias}_c"))
+    val edges = edges0
+      .join(anchorMap("__s"), col("src") === col("__s"), "left_outer")
+      .join(anchorMap("__d"), col("dst") === col("__d"), "left_outer")
+      .select(coalesce(col("__s_c"), col("src")).as("src"),
+        coalesce(col("__d_c"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+    val cc = ConnectedComponents.run(edges)
+    val anchors = pm.select(col("canonical").as("vertex")).distinct()
+    val compAnchor = cc.join(anchors, "vertex")
+      .groupBy("component").agg(min("vertex").as("anchor"))
+    nw.select(col("surface"))
+      .join(cc.withColumnRenamed("vertex", "surface"), Seq("surface"), "left_outer")
+      .join(compAnchor, Seq("component"), "left_outer")
+      .select(col("surface"),
+        coalesce(col("anchor"), col("component"), col("surface")).as("canonical"))
+  }
+
   /** Rewrite a triples table through the canonical map on subj and obj. */
   def applyTo(triples: DataFrame, mapping: DataFrame): DataFrame = {
     val m = broadcast(mapping)

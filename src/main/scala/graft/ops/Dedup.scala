@@ -357,6 +357,25 @@ object Dedup {
     }
   }
 
+  /** Exploded band table over array signatures: (id, band, sig) with one
+    * row per band, `sig` = the xxhash64 digest of that band's minhash
+    * slice — the SAME banding convention as [[minhashLshCandidatesArrays]]
+    * but exposed as a table, for consumers that join band buckets across
+    * TWO signature sets (e.g. incremental canonicalization probing a new
+    * batch against a persisted prior band table) instead of running the
+    * single-set self-join. explode_outer for the same
+    * InferFiltersFromGenerate reason documented above.
+    */
+  def bandTable(sigArrays: DataFrame, rowsPerBand: Int): DataFrame = {
+    val nb = ((size(col("mhs")) + lit(rowsPerBand - 1)) / lit(rowsPerBand)).cast("int")
+    val bandsCol = transform(
+      sequence(lit(0), nb - 1),
+      b => struct(b.cast("int").as("band"),
+        xxhash64(slice(col("mhs"), b * rowsPerBand + 1, lit(rowsPerBand))).as("sig")))
+    sigArrays.select(col("id"), explode_outer(bandsCol).as("__b"))
+      .select(col("id"), col("__b.band").as("band"), col("__b.sig").as("sig"))
+  }
+
   /** SimHash near-dup pairs with pigeonhole banding over a `bits`-wide
     * SimHash (default 60): the hash splits into `maxHamming + 1` bands, so
     * any pair with Hamming distance <= maxHamming must agree on at least one

@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.extract.{Coref, Gazetteer, TextNorm}
+import graft.canon.Canonicalizer
+import graft.extract.{Coref, Extractor, Gazetteer, TextNorm}
 import graft.graph.{Fusion, LinkPredict}
-import graft.ops.Dsir
+import graft.ops.{Dsir, TextOps}
 import QueryUtil._
 
 /** Round-4 KG-construction additions: coreference, link prediction, triple
@@ -169,6 +170,43 @@ object ConstructQueries {
           min("lp").as("min_logprob"),
           max("lp").as("max_logprob"))
         .orderBy("lang", "bucket"))
+    }),
+
+    "kg_canon_incremental" -> ((s, dir) => {
+      // stable-id incremental canonicalization: surfaces = distinct
+      // 4-token document prefixes, deterministically split into a prior
+      // build (2/3, exact-norm clusters) and a new batch (1/3). The op
+      // resolves the new batch against the prior WITHOUT renaming any
+      // prior assignment; the oracle replays the whole chain — norm stars,
+      // minhash bands, Jaccard verify, anchor replacement, recursive-CTE
+      // CC, and the min-anchor bridge rule. 4 tokens + minJ 0.6 keep the
+      // similarity graph non-degenerate on the small-vocabulary fixtures
+      // (3 tokens at 0.5 transitively merges ~all of sf0.1 into one
+      // mega-component — a fixture artifact, not an op property).
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val surf = d.select(
+        array_join(slice(split(col("text"), " "), 1, 4), " ").as("surface"))
+        .distinct()
+      val m = pmod(TextOps.portableHash64(col("surface")), lit(3L))
+      val prior = surf.where(m < 2)
+        .withColumn("norm", Extractor.normalizeCol(col("surface")))
+        .withColumn("canonical",
+          min("surface").over(Window.partitionBy("norm")))
+        .select("surface", "canonical")
+      val assign = Canonicalizer.incrementalCanonicalize(
+        prior, surf.where(m === 2), minJ = 0.6)
+      val anchors = prior.select(col("canonical").as("__a")).distinct()
+      val agg = assign
+        .join(anchors, assign("canonical") === anchors("__a"), "left_outer")
+        .agg(
+          count(lit(1)).as("n_new"),
+          count(col("__a")).as("n_merged_into_prior"),
+          count_distinct(when(col("__a").isNull, col("canonical")))
+            .as("n_fresh_clusters"),
+          sum(pmod(TextOps.portableHash64(
+            concat(col("surface"), lit("|"), col("canonical"))),
+            lit(1000003L))).as("assign_checksum"))
+      prior.agg(count(lit(1)).as("n_prior")).crossJoin(agg)
     }),
   )
 
@@ -369,5 +407,102 @@ object ConstructQueries {
         |       CAST(min(lp) AS DOUBLE) AS min_logprob,
         |       CAST(max(lp) AS DOUBLE) AS max_logprob
         |FROM nt GROUP BY lang, b ORDER BY lang, bucket""".stripMargin,
+
+    // Full-chain replay of Canonicalizer.incrementalCanonicalize. The
+    // Spark side keys its band buckets on xxhash64 digests of the minhash
+    // slices while this twin compares the literal signature strings — the
+    // identical pair-set acceptance class as the doc_minhash_lsh twin
+    // (a 64-bit digest collision is the only divergence, ~n²/2⁶⁵).
+    "kg_canon_incremental" -> {
+      val coeffRows = graft.ops.Dedup.MinhashCoeffs.zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      s"""WITH surf0 AS (
+         |  SELECT DISTINCT array_to_string(string_split(text, ' ')[1:4], ' ') AS surface
+         |  FROM documents),
+         |split AS (
+         |  SELECT surface, ('0x' || substr(md5(surface), 1, 15))::BIGINT % 3 AS m FROM surf0),
+         |priorsurf AS (
+         |  SELECT surface,
+         |         trim(regexp_replace(translate(lower(surface), 'üã', 'ua'), '[^a-z0-9]+', ' ', 'g')) AS norm
+         |  FROM split WHERE m < 2),
+         |priormap AS (
+         |  SELECT surface, min(surface) OVER (PARTITION BY norm) AS canonical FROM priorsurf),
+         |newsurf AS (
+         |  SELECT s.surface,
+         |         trim(regexp_replace(translate(lower(s.surface), 'üã', 'ua'), '[^a-z0-9]+', ' ', 'g')) AS norm
+         |  FROM split s LEFT JOIN priorsurf p ON p.surface = s.surface
+         |  WHERE s.m = 2 AND p.surface IS NULL),
+         |tnorm AS (SELECT DISTINCT norm FROM newsurf),
+         |grp AS (
+         |  SELECT surface, norm FROM newsurf
+         |  UNION ALL
+         |  SELECT p.surface, p.norm FROM priorsurf p JOIN tnorm t ON t.norm = p.norm),
+         |hub AS (SELECT norm, min(surface) AS h FROM grp GROUP BY norm),
+         |normedges AS (
+         |  SELECT hub.h AS s, grp.surface AS d FROM grp JOIN hub USING (norm)
+         |  WHERE grp.surface <> hub.h),
+         |allsurf AS (
+         |  SELECT surface, norm, 1 AS is_new FROM newsurf
+         |  UNION ALL SELECT surface, norm, 0 FROM priorsurf),
+         |shn AS (
+         |  SELECT DISTINCT surface, is_new,
+         |         ('0x' || substr(md5(substr(norm, i, 3)), 1, 15))::BIGINT & 2147483647 AS h
+         |  FROM allsurf, LATERAL unnest(generate_series(1, greatest(len(norm) - 2, 1))) g(i)),
+         |coeffs(i, a, b) AS (VALUES $coeffRows),
+         |sigs AS (
+         |  SELECT surface, is_new, i, min((a * h + b) % ${graft.ops.Dedup.MinhashPrime}) AS mh
+         |  FROM shn, coeffs GROUP BY 1, 2, 3),
+         |bands AS (
+         |  SELECT surface, is_new, i // 2 AS band,
+         |         string_agg(i || ':' || mh, ',' ORDER BY i || ':' || mh) AS sig
+         |  FROM sigs GROUP BY 1, 2, 3),
+         |cands AS (
+         |  SELECT DISTINCT least(x.surface, y.surface) AS a, greatest(x.surface, y.surface) AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+         |       AND x.surface <> y.surface
+         |  WHERE x.is_new = 1),
+         |sizes AS (SELECT surface, count(*) AS sz FROM shn GROUP BY surface),
+         |inter AS (
+         |  SELECT c.a, c.b, count(*) AS n
+         |  FROM cands c JOIN shn sa ON sa.surface = c.a
+         |       JOIN shn sb ON sb.surface = c.b AND sb.h = sa.h
+         |  GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT i.a AS s, i.b AS d
+         |  FROM inter i JOIN sizes za ON za.surface = i.a JOIN sizes zb ON zb.surface = i.b
+         |  WHERE CAST(i.n AS DOUBLE) / (za.sz + zb.sz - i.n) >= 0.6),
+         |edges0 AS (SELECT s, d FROM normedges UNION SELECT s, d FROM verified),
+         |edges1 AS (
+         |  SELECT coalesce(ps.canonical, e.s) AS s, coalesce(pd.canonical, e.d) AS d
+         |  FROM edges0 e
+         |  LEFT JOIN (SELECT DISTINCT surface, canonical FROM priormap) ps ON ps.surface = e.s
+         |  LEFT JOIN (SELECT DISTINCT surface, canonical FROM priormap) pd ON pd.surface = e.d),
+         |ue AS (SELECT s AS x, d AS y FROM edges1 WHERE s <> d
+         |       UNION SELECT d, s FROM edges1 WHERE s <> d),
+         |verts AS (SELECT DISTINCT x AS v FROM ue),
+         |comp AS (
+         |  WITH RECURSIVE reach(v, r) AS (
+         |    SELECT v, v FROM verts
+         |    UNION
+         |    SELECT reach.v, ue.y FROM reach JOIN ue ON ue.x = reach.r
+         |  )
+         |  SELECT v, min(r) AS component FROM reach GROUP BY v),
+         |anchors AS (SELECT DISTINCT canonical AS v FROM priormap),
+         |companchor AS (
+         |  SELECT c.component, min(c.v) AS anchor
+         |  FROM comp c JOIN anchors a ON a.v = c.v GROUP BY 1),
+         |newassign AS (
+         |  SELECT n.surface,
+         |         coalesce(ca.anchor, c.component, n.surface) AS canonical
+         |  FROM newsurf n
+         |  LEFT JOIN comp c ON c.v = n.surface
+         |  LEFT JOIN companchor ca ON ca.component = c.component)
+         |SELECT CAST((SELECT count(*) FROM priormap) AS BIGINT) AS n_prior,
+         |       CAST(count(*) AS BIGINT) AS n_new,
+         |       CAST(count(*) FILTER (WHERE canonical IN (SELECT v FROM anchors)) AS BIGINT) AS n_merged_into_prior,
+         |       CAST(count(DISTINCT canonical) FILTER (WHERE canonical NOT IN (SELECT v FROM anchors)) AS BIGINT) AS n_fresh_clusters,
+         |       CAST(sum(('0x' || substr(md5(surface || '|' || canonical), 1, 15))::BIGINT % 1000003) AS BIGINT) AS assign_checksum
+         |FROM newassign""".stripMargin
+    },
   )
 }

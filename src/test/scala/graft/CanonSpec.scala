@@ -101,6 +101,41 @@ class CanonSpec extends AnyFunSuite {
     assert(mapping.values.head == "ab" * 2) // canonical = lexicographic min (shortest)
   }
 
+  test("incremental: norm-equal new surfaces inherit the prior anchor; fresh clusters mint their min") {
+    val prior = Seq(
+      ("beta inc", "beta inc"), ("beta, inc", "beta inc"),
+      ("alpha corp", "alpha corp")).toDF("surface", "canonical")
+    val nw = Seq("Beta Inc", "gamma llc", "gamma-llc", "beta inc").toDF("surface")
+    val out = Canonicalizer.incrementalCanonicalize(prior, nw).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // "beta inc" is already a prior member: anti-joined out, never re-emitted
+    assert(out.keySet == Set("Beta Inc", "gamma llc", "gamma-llc"))
+    // norm("Beta Inc") == norm of the prior "beta inc" cluster -> the new
+    // surface inherits the prior canonical id (stability: the anchor wins
+    // even though "Beta Inc" < "beta inc" would win a batch re-cluster)
+    assert(out("Beta Inc") == "beta inc")
+    // an anchor-free norm group mints its min member, like the batch path
+    assert(out("gamma llc") == "gamma llc")
+    assert(out("gamma-llc") == "gamma llc")
+  }
+
+  test("incremental: a bridging near-dup takes the MIN anchor; prior clusters stay distinct; isolated mints itself") {
+    // A and B are near-dups of each other (J = 0.71) but both PRIOR — the
+    // incremental pass never generates prior x prior candidates, so their
+    // ids stay distinct (stability beats global re-optimality). N is a
+    // verified near-dup of BOTH (J = 0.76 / 0.71, band-collides with both
+    // under the fixed portable family) -> bridge rule: min anchor.
+    val a = "alpha omega shared context block"
+    val b = "bravo omega shared context block"
+    val prior = Seq((a, a), (b, b)).toDF("surface", "canonical")
+    val nw = Seq("delta omega shared context block", "zzz unrelated thing")
+      .toDF("surface")
+    val out = Canonicalizer.incrementalCanonicalize(prior, nw).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("delta omega shared context block") == a) // min(a, b) = a
+    assert(out("zzz unrelated thing") == "zzz unrelated thing") // edge-free
+  }
+
   test("applyTo rewrites triples through the canonical map") {
     val triples = Seq(
       ("c1", 0, "Ada Lovelace", "p", "Zürich"),
