@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.canon.Canonicalizer
 import graft.extract.{Coref, Extractor, Gazetteer, TextNorm}
 import graft.graph.{Fusion, LinkPredict}
-import graft.ops.{Dsir, TextOps}
+import graft.ops.{Dsir, SimJoin, TextOps}
 import QueryUtil._
 
 /** Round-4 KG-construction additions: coreference, link prediction, triple
@@ -207,6 +207,39 @@ object ConstructQueries {
             concat(col("surface"), lit("|"), col("canonical"))),
             lit(1000003L))).as("assign_checksum"))
       prior.agg(count(lit(1)).as("n_prior")).crossJoin(agg)
+    }),
+
+    "doc_fuzzy_join" -> ((s, dir) => {
+      // exact edit-distance self-join (PassJoin pigeonhole) over the
+      // normalized 3-token document prefixes; the oracle is the TRUE
+      // brute-force levenshtein cross-filter, so parity here proves the
+      // candidate generation is complete, not just self-consistent
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val surf = d.select(Extractor.normalizeCol(
+          array_join(slice(split(col("text"), " "), 1, 3), " ")).as("str"))
+        .distinct()
+        .withColumn("id", col("str"))
+      SimJoin.editDistancePairs(surf, "id", "str", maxDist = 2)
+        .select(col("a"), col("b"), col("dist"))
+        .orderBy("a", "b")
+    }),
+
+    "doc_setsim_prefix" -> ((s, dir) => {
+      // exact Jaccard >= 0.75 self-join (prefix filter) over word
+      // 3-shingle sets (the fixture vocabulary is too small for word-level
+      // sets to be selective — a fixture artifact); the oracle computes
+      // the true answer through an independent shared-shingle equi-join,
+      // so parity again proves completeness
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val ts = split(col("text"), " ")
+      val sh = when(size(ts) >= 3,
+        transform(sequence(lit(1), size(ts) - 2),
+          i => array_join(slice(ts, i, lit(3)), "_")))
+        .otherwise(array().cast("array<string>"))
+      val shingled = d.select(col("doc_id"), array_join(sh, " ").as("shtext"))
+      SimJoin.prefixJaccardPairs(shingled, "doc_id", "shtext", 0.75)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a", "b")
     }),
   )
 
@@ -504,5 +537,43 @@ object ConstructQueries {
          |       CAST(sum(('0x' || substr(md5(surface || '|' || canonical), 1, 15))::BIGINT % 1000003) AS BIGINT) AS assign_checksum
          |FROM newassign""".stripMargin
     },
+
+    // TRUE ground truth (brute-force levenshtein with the |Δlen| <= d
+    // necessary-condition prefilter), fully independent of the PassJoin
+    // candidate scheme — parity proves completeness of the pigeonhole.
+    "doc_fuzzy_join" ->
+      """WITH surf AS (
+        |  SELECT DISTINCT trim(regexp_replace(translate(lower(
+        |    array_to_string(string_split(text, ' ')[1:3], ' ')),
+        |    'üã', 'ua'), '[^a-z0-9]+', ' ', 'g')) AS str
+        |  FROM documents)
+        |SELECT x.str AS a, y.str AS b,
+        |       CAST(levenshtein(x.str, y.str) AS INTEGER) AS dist
+        |FROM surf x JOIN surf y
+        |  ON x.str < y.str AND abs(len(x.str) - len(y.str)) <= 2
+        |WHERE levenshtein(x.str, y.str) <= 2
+        |ORDER BY a, b""".stripMargin,
+
+    // True answer via an independent shared-shingle equi-join (complete
+    // for t > 0: J >= t needs >= 1 shared element) — no prefix filter on
+    // this side, so parity proves the filter prunes no true pair.
+    "doc_setsim_prefix" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], '_') AS token
+        |  FROM tok0, LATERAL unnest(generate_series(1, greatest(len(ts) - 2, 0))) g(i)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i,
+        |         any_value(za.sz) AS sa, any_value(zb.sz) AS sb
+        |  FROM sh a JOIN sh b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  JOIN sz za ON za.doc_id = a.doc_id
+        |  JOIN sz zb ON zb.doc_id = b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b,
+        |       CAST(round(CAST(i AS DOUBLE) / (sa + sb - i), 6) AS DOUBLE) AS jaccard
+        |FROM pairs WHERE CAST(i AS DOUBLE) / (sa + sb - i) >= 0.75
+        |ORDER BY a, b""".stripMargin,
   )
 }

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SimJoin
+
+/** Exactness of the similarity self-joins: both ops claim COMPLETE
+  * candidate generation, so each is held to multiset equality with the
+  * brute-force cross-filter ground truth on adversarial corpora
+  * (duplicates, empties, short strings, hot tokens).
+  */
+class SimJoinSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  // deterministic pseudo-random corpus: base words mutated by hand-rolled
+  // LCG edits so true near-pairs exist at several distances
+  private def mutCorpus(n: Int): Seq[(Long, String)] = {
+    val alpha = "abcd"
+    var st = 12345L
+    def nxt(m: Int): Int = {
+      st = (st * 6364136223846793005L + 1442695040888963407L)
+      (((st >>> 33) % m) + m).toInt % m
+    }
+    (0 until n).map { i =>
+      val base = "abcabcabdd".substring(0, 4 + nxt(7)).toCharArray
+      val edits = nxt(4)
+      var s = new String(base)
+      (0 until edits).foreach { _ =>
+        val op = nxt(3)
+        val p = if (s.isEmpty) 0 else nxt(s.length)
+        s = op match {
+          case 0 if s.nonEmpty => s.updated(p, alpha(nxt(4))) // substitute
+          case 1 => s.substring(0, p) + alpha(nxt(4)) + s.substring(p) // insert
+          case _ if s.nonEmpty => s.substring(0, p) + s.substring(p + 1) // delete
+          case _ => s
+        }
+      }
+      (i.toLong, s)
+    } ++ Seq((n.toLong, ""), (n + 1L, "a"), (n + 2L, "ab"), (n + 3L, ""))
+  }
+
+  private def bruteEd(corpus: Seq[(Long, String)], d: Int): Set[(Long, Long, Int)] =
+    (for {
+      (ia, sa) <- corpus; (ib, sb) <- corpus if ia < ib
+      dist = {
+        val m = Array.tabulate(sa.length + 1, sb.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0
+        }
+        for (i <- 1 to sa.length; j <- 1 to sb.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (sa(i - 1) == sb(j - 1)) 0 else 1))
+        m(sa.length)(sb.length)
+      } if dist <= d
+    } yield (ia, ib, dist)).toSet
+
+  test("editDistancePairs == brute force at d=1 and d=2 (mutation corpus w/ empties + shorts)") {
+    val corpus = mutCorpus(80)
+    val df = corpus.toDF("id", "str")
+    Seq(1, 2).foreach { d =>
+      val got = SimJoin.editDistancePairs(df, "id", "str", maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == bruteEd(corpus, d), s"mismatch at d=$d")
+    }
+  }
+
+  test("editDistancePairs: hand case — pigeonhole catches sub/ins/del, excludes d+1 edits") {
+    val df = Seq((1L, "kitten"), (2L, "sitten"), (3L, "sittin"),
+      (4L, "sitting"), (5L, "kettle")).toDF("id", "str")
+    val got = SimJoin.editDistancePairs(df, "id", "str", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got((1L, 2L)) == 1) // substitution
+    assert(got((1L, 3L)) == 2) // two substitutions
+    assert(got((2L, 4L)) == 2) // sub + insert
+    assert(!got.contains((1L, 4L))) // kitten->sitting = 3
+    assert(!got.contains((1L, 5L))) // kitten->kettle = 3
+  }
+
+  test("editDistancePairs: short-string guard raises past maxShortBlock") {
+    val df = (0 until 30).map(i => (i.toLong, "ab")).toDF("id", "str")
+    val ex = intercept[Exception] {
+      SimJoin.editDistancePairs(df, "id", "str", maxDist = 2, maxShortBlock = 10)
+        .count()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  private def bruteJac(corpus: Seq[(Long, String)], t: Double): Set[(Long, Long)] =
+    (for {
+      (ia, sa) <- corpus; (ib, sb) <- corpus if ia < ib
+      xa = sa.split(" +").filter(_.nonEmpty).toSet
+      xb = sb.split(" +").filter(_.nonEmpty).toSet
+      if xa.nonEmpty && xb.nonEmpty
+      j = xa.intersect(xb).size.toDouble / xa.union(xb).size
+      if j >= t
+    } yield (ia, ib)).toSet
+
+  test("prefixJaccardPairs == brute force at t=0.5 and t=0.75 (hot-token corpus)") {
+    // every doc shares the hot tokens; only rare-token co-occurrence
+    // should clear the threshold — exercises the anti-hot prefix claim
+    var st = 999L
+    def nxt(m: Int): Int = {
+      st = (st * 6364136223846793005L + 1442695040888963407L)
+      (((st >>> 33) % m) + m).toInt % m
+    }
+    val vocab = (0 until 40).map(i => s"w$i")
+    val corpus = (0 until 60).map { i =>
+      val n = 2 + nxt(6)
+      val toks = Seq("the", "of") ++ (0 until n).map(_ => vocab(nxt(40)))
+      (i.toLong, toks.distinct.mkString(" "))
+    } ++ Seq((60L, "the of"), (61L, "the of"), (62L, ""))
+    val df = corpus.toDF("id", "text")
+    Seq(0.5, 0.75).foreach { t =>
+      val got = SimJoin.prefixJaccardPairs(df, "id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == bruteJac(corpus, t), s"mismatch at t=$t")
+    }
+  }
+
+  test("prefixJaccardPairs: exact jaccard values and size-filter pruning") {
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), // J = 3/5
+      (3L, "a b"), // vs 1: J = 2/4 = 0.5, size filter at t=0.75 prunes
+      (4L, "x y z")).toDF("id", "text")
+    val got = SimJoin.prefixJaccardPairs(df, "id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) == 0.6)
+    assert(got((1L, 3L)) == 0.5)
+    assert(!got.contains((1L, 4L)))
+    val strict = SimJoin.prefixJaccardPairs(df, "id", "text", 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.isEmpty) // 0.6 < 0.75; (1,3) killed by the size filter
+  }
+}
