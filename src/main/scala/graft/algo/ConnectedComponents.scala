@@ -28,6 +28,17 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // vertex universe, pinned EAGERLY while the input chain is being paid
+    // anyway: the final left-join below must see every input vertex (incl.
+    // self-loop-only ones pairs dropped), and deriving it lazily from
+    // `edges` re-evaluated the caller's entire upstream plan once per
+    // consumption of the result — for a caller whose edge table is an
+    // expensive similarity chain (incremental canonicalization) that
+    // tripled the query
+    val allVs = edges.select(col("src").as("vertex"))
+      .union(edges.select(col("dst").as("vertex"))).distinct()
+      .localCheckpoint(true)
+
     var converged = false
     var iter = 0
     var prevSig: (Long, Long) = (-1L, -1L)
@@ -75,8 +86,6 @@ object ConnectedComponents {
       least(col("vertex"), col("component")).as("component"))
     // isolated-in-pairs roots map to themselves; vertices absent entirely
     // (isolated in the input, only possible via self-loops) map to self too
-    val allVs = edges.select(col("src").as("vertex"))
-      .union(edges.select(col("dst").as("vertex"))).distinct()
     allVs.join(asSelf, Seq("vertex"), "left_outer")
       .select(col("vertex"), coalesce(col("component"), col("vertex")).as("component"))
   }

@@ -247,7 +247,9 @@ object Canonicalizer {
       .select(coalesce(col("__s_c"), col("src")).as("src"),
         coalesce(col("__d_c"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst"))
-    val cc = ConnectedComponents.run(edges)
+      .cache() // the CC kernel and its consumers evaluate this chain
+               // (bands + verify + anchor joins) several times otherwise
+    val cc = ConnectedComponents.run(edges).cache() // consumed twice below
     val anchors = pm.select(col("canonical").as("vertex")).distinct()
     val compAnchor = cc.join(anchors, "vertex")
       .groupBy("component").agg(min("vertex").as("anchor"))

@@ -283,6 +283,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("editDistancePairs: main candidate join is an equi-join on the segment key") {
+    // the ONLY sanctioned non-equi join is the guarded short×short residual
+    // block; the pigeonhole path must stay a hash/sort-merge equi-join, so
+    // cutting the short strings out of the input must leave a plan with no
+    // nested-loop/cartesian operator at all
+    val df = Seq((1L, "kitten"), (2L, "sitten"), (3L, "sitting"))
+      .toDF("id", "str") // every string longer than 2d=4 -> short route empty
+    val plan = planOf(graft.ops.SimJoin.editDistancePairs(df, "id", "str", 2))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // the residual block appears as ONE BroadcastNestedLoopJoin over the
+    // guarded (empty here) short frame; the segment join itself must not
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("prefixJaccardPairs: size+rank share one id-keyed exchange; joins are equi") {
+    val df = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y"))
+      .toDF("id", "text")
+    val p = graft.ops.SimJoin.prefixJaccardPairs(df, "id", "text", 0.5)
+    val plan = planOf(p)
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    // both window functions (set size, prefix rank) evaluate back-to-back
+    // over ONE id-keyed exchange: no Exchange between the two Window nodes
+    val w1 = plan.indexOf("Window ")
+    val w2 = plan.indexOf("Window ", w1 + 1)
+    assert(w1 >= 0 && w2 > w1, plan.take(1200))
+    assert(!plan.substring(w1, w2).contains("Exchange"),
+      "exchange between the size and rank windows:\n" + plan.substring(w1, w2))
+  }
+
   test("negativeSamples: 1-row vertex count broadcasts; anti-join is equi; zero jobs") {
     val it = Seq((0L, 1L, 1L), (1L, 1L, 2L)).toDF("src_id", "label_id", "dst_id")
     val n = it.sparkSession.range(1).select(lit(4L).as("n_vertices"))
