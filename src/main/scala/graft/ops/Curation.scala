@@ -137,6 +137,68 @@ object Curation {
         lit(0.0)))
   }
 
+  /** Bloom-filter variant of [[ngramContamination]] — the 100-TB probe
+    * shape: the benchmark gram set compresses to a FIXED-SIZE bitset that
+    * rides the plan as a literal, so the corpus side is probed MAP-ONLY —
+    * no join, no corpus shuffle at all until the per-doc count. The price
+    * is a documented false-positive rate (flags are a superset of the
+    * exact answer; FPR ~ (1 - e^(-k*g/m))^k for g benchmark grams, m bits,
+    * k probes — ~0.1% at the defaults for 10^5 grams), acceptable for the
+    * flag-then-audit ingestion gate where the exact semi-join re-checks
+    * only the flagged residue.
+    *
+    * Construction is distributed end-to-end: gram positions aggregate into
+    * 64-bit words with `bit_or` (one small shuffle on the m/64-row word
+    * space) and only the finished words are fetched — O(m/64) driver rows,
+    * INDEPENDENT of benchmark size. Probe positions use the same portable
+    * md5-derived hash family as the rest of the engine, so the bitset
+    * semantics ("all k positions set") replay exactly in the DuckDB twin
+    * as a position-subset test — the approximation itself is
+    * deterministic and oracle-checkable.
+    */
+  def bloomContamination(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 5,
+                         bits: Int = 1 << 20, hashes: Int = 3): DataFrame = {
+    require(bits > 0 && bits % 64 == 0, "bits must be a positive multiple of 64")
+    require(hashes >= 1, "hashes must be >= 1")
+    val m = bits.toLong
+    def pos(j: Int): Column =
+      pmod(TextOps.portableHash64(concat(col("shingle"), lit(s"#$j"))), lit(m))
+
+    // distributed bitset build: positions -> (word, bit_or of set bits)
+    val words = TextOps.shingles(benchmark, idCol, textCol, n)
+      .select(explode(array((0 until hashes).map(pos): _*)).as("p"))
+      .select((col("p") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L),
+          pmod(col("p"), lit(64L)).cast("int")).as("b"))
+      .groupBy("w").agg(bit_or(col("b")).as("bs"))
+      .collect() // O(bits/64) rows regardless of benchmark size
+    val bitset = new Array[Long](bits / 64)
+    words.foreach(r => bitset(r.getInt(0)) = r.getLong(1))
+    val bl = typedlit(bitset.toSeq)
+
+    // map-only probe: a gram is flagged iff ALL k probe bits are set
+    val flagged = (0 until hashes).map { j =>
+      val p = pos(j)
+      (element_at(bl, (p / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(p, lit(64L)).cast("int"))) =!= 0L)
+    }.reduce(_ && _)
+    val cg = TextOps.shingles(corpus, idCol, textCol, n)
+      .select(col(idCol), col("shingle")).distinct()
+      .withColumn("__f", flagged)
+    val agg = cg.groupBy(col(idCol)).agg(
+      count(lit(1)).as("total_ngrams"),
+      count(when(col("__f"), 1)).as("flagged_ngrams"))
+    corpus.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .withColumn("total_ngrams", coalesce(col("total_ngrams"), lit(0L)))
+      .withColumn("flagged_ngrams", coalesce(col("flagged_ngrams"), lit(0L)))
+      .withColumn("flagged_frac", coalesce(
+        try_divide(col("flagged_ngrams").cast("double"), col("total_ngrams")),
+        lit(0.0)))
+  }
+
   /** Per-group distribution profile: quantiles of `valCol` for every
     * `byCol` group, long format (group, prob, value) — the corpus-health
     * dashboard shape (length/quality-score percentiles per language or

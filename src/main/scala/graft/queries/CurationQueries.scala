@@ -93,6 +93,24 @@ object CurationQueries {
         sum("contaminated_ngrams").cast("bigint").as("contaminated_sum")))
     }),
 
+    "doc_contamination_bloom" -> ((s, dir) => {
+      // Bloom-bitset contamination flagging (the map-only 100-TB probe):
+      // same benchmark split as doc_contamination; the oracle replays the
+      // bitset as a position-subset test, so even the false positives are
+      // deterministic and parity-checked
+      val d = docs(s, dir)
+      val bench = d.where(col("doc_id") % 20 === 0)
+      val corpus = d.where(col("doc_id") % 20 =!= 0)
+      val c = Curation.bloomContamination(
+        corpus.repartition(32), bench, "doc_id", "text", n = 5)
+      roundDoubles(c.agg(
+        count(lit(1)).cast("bigint").as("n_corpus_docs"),
+        count(when(col("flagged_ngrams") > 0, 1))
+          .cast("bigint").as("flagged_docs"),
+        round(avg("flagged_frac"), 6).as("avg_flagged"),
+        sum("flagged_ngrams").cast("bigint").as("flagged_sum")))
+    }),
+
     "doc_pack" -> ((s, dir) => {
       // GPT-style concat-and-chunk packing of the whole corpus into
       // 512-token windows via the distributed two-pass prefix sum (the
@@ -323,6 +341,42 @@ object CurationQueries {
          |       CAST(count(*) FILTER (WHERE frac >= 0.5) AS BIGINT) AS heavy_docs,
          |       CAST(round(avg(frac), 6) AS DOUBLE) AS avg_contamination,
          |       CAST(sum(cont) AS BIGINT) AS contaminated_sum
+         |FROM j""".stripMargin,
+
+    // bitset membership == "all k probe positions were set by some
+    // benchmark gram": the bloom semantics replay as a position-subset
+    // test, so the oracle reproduces the engine's false positives exactly
+    "doc_contamination_bloom" ->
+      s"""WITH g5 AS (
+         |  SELECT doc_id, array_to_string(l[i:i+4], ' ') AS gram
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t,
+         |       LATERAL unnest(generate_series(1, greatest(len(l) - 4, 0))) g(i)),
+         |gd AS (SELECT DISTINCT doc_id, gram FROM g5),
+         |bpos AS (
+         |  SELECT DISTINCT ${h64("gram || sfx")} % 1048576 AS p
+         |  FROM gd, LATERAL unnest(['#0', '#1', '#2']) s(sfx)
+         |  WHERE doc_id % 20 = 0),
+         |fl AS (
+         |  SELECT doc_id,
+         |         ${h64("gram || '#0'")} % 1048576 IN (SELECT p FROM bpos)
+         |     AND ${h64("gram || '#1'")} % 1048576 IN (SELECT p FROM bpos)
+         |     AND ${h64("gram || '#2'")} % 1048576 IN (SELECT p FROM bpos) AS f
+         |  FROM gd WHERE doc_id % 20 <> 0),
+         |tot AS (SELECT doc_id, count(*) AS total,
+         |               count(*) FILTER (WHERE f) AS flag
+         |        FROM fl GROUP BY 1),
+         |j AS (
+         |  SELECT d.doc_id, coalesce(tot.total, 0) AS total,
+         |         coalesce(tot.flag, 0) AS flag,
+         |         CASE WHEN coalesce(tot.total, 0) > 0
+         |              THEN CAST(coalesce(tot.flag, 0) AS DOUBLE) / tot.total
+         |              ELSE 0.0 END AS frac
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+         |  LEFT JOIN tot USING (doc_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_corpus_docs,
+         |       CAST(count(*) FILTER (WHERE flag > 0) AS BIGINT) AS flagged_docs,
+         |       CAST(round(avg(frac), 6) AS DOUBLE) AS avg_flagged,
+         |       CAST(sum(flag) AS BIGINT) AS flagged_sum
          |FROM j""".stripMargin,
 
     "doc_pack" ->

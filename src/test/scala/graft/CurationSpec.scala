@@ -82,6 +82,38 @@ class CurationSpec extends AnyFunSuite {
     assert(r(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("bloomContamination: flags are a superset of exact hits; FPR bounded on a disjoint corpus") {
+    // true-positive side: contaminated grams MUST be flagged (a bloom has
+    // no false negatives), checked per doc against the exact semi-join
+    val corpus = Seq(
+      (1L, "one two three four five six"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "zero one two three four five six seven"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val bench = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
+    val exact = Curation.ngramContamination(corpus, bench, "doc_id", "text", n = 5)
+      .collect().map(x => x.getLong(0) -> x.getAs[Long]("contaminated_ngrams")).toMap
+    val bloom = Curation.bloomContamination(corpus, bench, "doc_id", "text", n = 5)
+      .collect().map(x => x.getLong(0) ->
+        (x.getAs[Long]("total_ngrams"), x.getAs[Long]("flagged_ngrams"))).toMap
+    exact.foreach { case (id, c) =>
+      assert(bloom(id)._2 >= c, s"doc $id: bloom dropped a true hit")
+    }
+    assert(bloom(1L) == ((2L, 2L))) // identical doc fully flagged
+    assert(bloom(4L) == ((0L, 0L)))
+
+    // false-positive side: a large corpus fully DISJOINT from the
+    // benchmark must flag ~nothing (expected FPR ~1e-10 at 2^20 bits /
+    // 15 bench grams; assert a generous 1% at n=2 over ~3k grams)
+    val big = (0 until 600).map(i =>
+      (i.toLong, (0 until 6).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fp = Curation.bloomContamination(big, bench, "doc_id", "text", n = 2)
+      .agg(sum("flagged_ngrams"), sum("total_ngrams")).head()
+    assert(fp.getLong(0) <= fp.getLong(1) / 100,
+      s"FPR too high: ${fp.getLong(0)}/${fp.getLong(1)}")
+  }
+
   test("groupQuantiles: exact linear interpolation per group; approx returns data values") {
     val d = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L), ("b", 10L))
       .toDF("grp", "v")
