@@ -129,4 +129,38 @@ class TableIO(spark: SparkSession, root: String) {
         commit(table, compute, stage, inputSnapshot)
         read(table)
     }
+
+  /** Bucketed snapshot: persist `df` hash-bucketed AND sorted on `keys`
+    * through the session catalog (files live under this TableIO root, the
+    * catalog entry carries the bucket spec). Joins and aggregations between
+    * snapshots bucketed on the same keys with the same bucket count then
+    * run with NO exchange and NO sort — the co-located-join contract that
+    * turns the repeated self-joins of a daily KG rebuild (edges ⋈ degrees,
+    * edges ⋈ dict, prior ⋈ increment) from two full shuffles per stage
+    * into none. Bucket count is a layout contract: pick it for the TARGET
+    * cluster (e.g. 4-16x executor count) and keep it stable across
+    * snapshots — TableIOSpec pins the exchange-free plan.
+    *
+    * The catalog name is `graft_<table>`; data overwrites in place (the
+    * bucket layout IS the snapshot — callers needing time travel keep
+    * using [[commit]] and re-bucket the head).
+    */
+  def commitBucketed(table: String, df: DataFrame,
+                     keys: Seq[String], buckets: Int): Unit = {
+    require(keys.nonEmpty, "need at least one bucket key")
+    require(buckets > 0, "buckets must be positive")
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", s"$root/$table/bucketed")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(s"graft_$table")
+  }
+
+  /** Read a bucketed snapshot with its bucket spec intact (reading the
+    * parquet path directly would discard the layout and reintroduce the
+    * shuffle).
+    */
+  def readBucketed(table: String): DataFrame =
+    spark.table(s"graft_$table")
 }

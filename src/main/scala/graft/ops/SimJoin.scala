@@ -168,15 +168,20 @@ object SimJoin {
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy("id").orderBy(col("df"), col("token"))
     val wAll = Window.partitionBy("id")
+    // the pre-filters are relaxed by an ulp-swallowing epsilon so a
+    // non-dyadic threshold (0.7*20 = 14.000000000000002 in IEEE) can
+    // never over-prune a pair sitting exactly ON the boundary; the exact
+    // verify below is the only place the threshold binds
+    val eps = 1e-9
     val prefix = tok.join(dfreq, "token")
       .withColumn("sz", count(lit(1)).over(wAll))
       .withColumn("rn", row_number().over(wOrd))
-      .where(col("rn") <= col("sz") - ceil(lit(minJ) * col("sz")) + 1)
+      .where(col("rn") <= col("sz") - ceil(lit(minJ) * col("sz") - eps) + 1)
       .select(col("id"), col("token"), col("sz"))
 
     val cands = prefix.as("x").join(prefix.as("y"),
         col("x.token") === col("y.token") && col("x.id") < col("y.id") &&
-          lit(minJ) * greatest(col("x.sz"), col("y.sz")) <=
+          lit(minJ) * greatest(col("x.sz"), col("y.sz")) - eps <=
             least(col("x.sz"), col("y.sz")))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         col("x.sz").as("sa"), col("y.sz").as("sb"))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.canon.Canonicalizer
 import graft.extract.{Coref, Extractor, Gazetteer, TextNorm}
 import graft.graph.{Fusion, LinkPredict}
-import graft.ops.{Dsir, SimJoin, TextOps}
+import graft.ops.{BpeTrain, Dsir, SimJoin, TextOps}
 import QueryUtil._
 
 /** Round-4 KG-construction additions: coreference, link prediction, triple
@@ -207,6 +207,17 @@ object ConstructQueries {
             concat(col("surface"), lit("|"), col("canonical"))),
             lit(1000003L))).as("assign_checksum"))
       prior.agg(count(lit(1)).as("n_prior")).crossJoin(agg)
+    }),
+
+    "doc_bpe_merges" -> ((s, dir) => {
+      // tokenizer training: first 3 BPE merge rules learned over the
+      // corpus word-frequency vocabulary; the oracle unrolls the same 3
+      // rounds (pair scoring, lex tie-break, greedy odd-in-run merges)
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      BpeTrain.learnMerges(d, "text", rounds = 3)
+        .select(col("round"), col("left"), col("right"),
+          col("score").cast("long").as("score"), col("merged"))
+        .orderBy("round")
     }),
 
     "doc_fuzzy_join" -> ((s, dir) => {
@@ -536,6 +547,52 @@ object ConstructQueries {
          |       CAST(count(DISTINCT canonical) FILTER (WHERE canonical NOT IN (SELECT v FROM anchors)) AS BIGINT) AS n_fresh_clusters,
          |       CAST(sum(('0x' || substr(md5(surface || '|' || canonical), 1, 15))::BIGINT % 1000003) AS BIGINT) AS assign_checksum
          |FROM newassign""".stripMargin
+    },
+
+    // 3 unrolled BPE training rounds: pair scoring with lex tie-break,
+    // then the greedy left-to-right merge as the odd-match-within-run
+    // closed form — the same window algebra as the Spark trainer.
+    "doc_bpe_merges" -> {
+      def rnd(i: Int, src: String): String =
+        s"""p$i AS (SELECT word, freq, pos, sym,
+           |         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+           |       FROM $src),
+           |b$i AS (SELECT l, r, score FROM (
+           |          SELECT sym AS l, nxt AS r, sum(freq) AS score
+           |          FROM p$i WHERE nxt IS NOT NULL GROUP BY 1, 2)
+           |        ORDER BY score DESC, l, r LIMIT 1),
+           |m$i AS (SELECT *, coalesce(nxt IS NOT NULL
+           |          AND sym = (SELECT l FROM b$i)
+           |          AND nxt = (SELECT r FROM b$i), false) AS hit FROM p$i),
+           |ra$i AS (SELECT *, coalesce(lag(hit) OVER (PARTITION BY word ORDER BY pos), false) AS prevhit FROM m$i),
+           |rb$i AS (SELECT *, sum(CASE WHEN hit AND NOT prevhit THEN 1 ELSE 0 END)
+           |           OVER (PARTITION BY word ORDER BY pos ROWS UNBOUNDED PRECEDING) AS runid FROM ra$i),
+           |rc$i AS (SELECT *, CASE WHEN hit THEN row_number()
+           |           OVER (PARTITION BY word, runid ORDER BY pos) END AS runpos FROM rb$i),
+           |rd$i AS (SELECT *, coalesce(hit AND runpos % 2 = 1, false) AS domerge FROM rc$i),
+           |re$i AS (SELECT *, coalesce(lag(domerge) OVER (PARTITION BY word ORDER BY pos), false) AS consumed FROM rd$i),
+           |s$i AS (SELECT word, freq,
+           |          row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+           |          CASE WHEN domerge THEN sym || nxt ELSE sym END AS sym
+           |        FROM re$i WHERE NOT consumed)""".stripMargin
+      s"""WITH vocab AS (
+         |  SELECT word, count(*) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY 1),
+         |s0 AS (
+         |  SELECT word, freq, i AS pos, substr(word, i, 1) AS sym
+         |  FROM vocab, LATERAL unnest(generate_series(1, len(word))) g(i)),
+         |${rnd(1, "s0")},
+         |${rnd(2, "s1")},
+         |${rnd(3, "s2")}
+         |SELECT * FROM (
+         |  SELECT 1 AS round, l AS "left", r AS "right",
+         |         CAST(score AS BIGINT) AS score, l || r AS merged FROM b1
+         |  UNION ALL
+         |  SELECT 2, l, r, CAST(score AS BIGINT), l || r FROM b2
+         |  UNION ALL
+         |  SELECT 3, l, r, CAST(score AS BIGINT), l || r FROM b3)
+         |ORDER BY round""".stripMargin
     },
 
     // TRUE ground truth (brute-force levenshtein with the |Δlen| <= d

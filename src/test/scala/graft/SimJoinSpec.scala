@@ -118,6 +118,20 @@ class SimJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixJaccardPairs: non-dyadic threshold keeps an exactly-on-boundary pair") {
+    // |x| = 20, y ⊂ x with |y| = 14 -> J = 14/20 = 0.7 exactly; the naive
+    // size filter computes 0.7*20 = 14.000000000000002 > 14 and would
+    // prune it — the epsilon-relaxed pre-filters must let the exact
+    // verify keep it
+    val xs = (0 until 20).map(i => s"tok$i")
+    val df = Seq((1L, xs.mkString(" ")), (2L, xs.take(14).mkString(" ")))
+      .toDF("id", "text")
+    val got = SimJoin.prefixJaccardPairs(df, "id", "text", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.contains((1L, 2L)), "boundary pair pruned by float over-prune")
+    assert(got((1L, 2L)) == 0.7)
+  }
+
   test("prefixJaccardPairs: exact jaccard values and size-filter pruning") {
     val df = Seq(
       (1L, "a b c d"), (2L, "a b c e"), // J = 3/5

@@ -67,6 +67,39 @@ class TableIOSpec extends AnyFunSuite {
     assert(idsBefore == idsAfter, "resume must not produce new snapshots")
   }
 
+  test("bucketed snapshots: same-key join runs with ZERO exchange and same result") {
+    val root = freshRoot()
+    val io = new TableIO(spark, root)
+    val edges = Seq.tabulate(200)(i => (i.toLong % 40, i.toLong % 7, s"e$i"))
+      .toDF("src", "dst", "tag").repartition(5)
+    val degs = Seq.tabulate(40)(i => (i.toLong, i * 10L)).toDF("src", "deg")
+      .repartition(3)
+    io.commitBucketed("b_edges", edges, Seq("src"), 8)
+    io.commitBucketed("b_degs", degs, Seq("src"), 8)
+
+    val be = io.readBucketed("b_edges")
+    val bd = io.readBucketed("b_degs")
+    // disable auto-broadcast so the co-location (not a broadcast) is what
+    // removes the exchanges
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = be.join(bd, "src")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        "bucketed same-key join must not shuffle:\n" + plan.take(1500))
+      // and the result matches the plain (shuffled) join
+      val got = j.select("src", "dst", "tag", "deg").collect().toSet
+      val want = edges.join(degs, "src")
+        .select("src", "dst", "tag", "deg").collect().toSet
+      assert(got == want)
+      // aggregation on the bucket key is exchange-free too
+      val aggPlan = be.groupBy("src").count().queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"),
+        "bucketed groupBy(src) must not shuffle:\n" + aggPlan.take(1500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("wide stats upsert: row per dataset, ALTER-widening columns, row replace") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
