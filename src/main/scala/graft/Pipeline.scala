@@ -282,6 +282,55 @@ object Pipeline {
     }
   }
 
+  /** Daily incremental KG rebuild over TableIO snapshots — the composition
+    * the stable-id canonicalizer exists for:
+    *
+    *  1. extract triples from the NEW transcript batch only (the prior
+    *     corpus is never re-read, let alone re-extracted);
+    *  2. resolve the batch's surface forms against the persisted canonical
+    *     dictionary with STABLE ids
+    *     ([[graft.canon.Canonicalizer.incrementalCanonicalize]] — prior
+    *     assignments are never renamed; the first batch bootstraps with
+    *     the batch canonicalizer) and commit the appended dictionary;
+    *  3. rewrite the batch triples through the updated dictionary, tag
+    *     them with `batchId`, commit the appended canonical triple table;
+    *  4. return the edge-churn report vs the previous snapshot. Ingestion
+    *     is append-only, so `n_removed` is structurally 0 — a nonzero
+    *     value means an upstream bug (IncrementalBuildSpec pins it).
+    *
+    * TableIO note: `commit` rewrites the full table per snapshot (the
+    * plain-parquet Iceberg stand-in, SURVEY §7.0); a production binding
+    * appends the batch partition instead — callers are unchanged.
+    */
+  def incrementalBuild(io: graft.io.TableIO, newTurns: DataFrame,
+                       batchId: String, partitions: Int = 32): DataFrame = {
+    val triples = Extractor.triples(newTurns, Some(partitions))
+    val surfaces = triples.select(col("subj").as("surface"))
+      .unionByName(triples.select(col("obj").as("surface")))
+      .distinct()
+    val newAssign = io.latest("dict") match {
+      case None => graft.canon.Canonicalizer.canonicalize(surfaces)
+      case Some(_) =>
+        graft.canon.Canonicalizer.incrementalCanonicalize(io.read("dict"), surfaces)
+    }
+    val dict = io.latest("dict") match {
+      case None    => newAssign
+      case Some(_) => io.read("dict").unionByName(newAssign)
+    }
+    io.commit("dict", dict, "canonicalize", batchId)
+
+    val canon = graft.canon.Canonicalizer.applyTo(triples, io.read("dict"))
+      .withColumn("batch", lit(batchId))
+    val prev = io.latest("canon_triples").map(_ => io.read("canon_triples"))
+    val all = prev.map(_.unionByName(canon)).getOrElse(canon)
+    io.commit("canon_triples", all, "ingest", batchId)
+
+    def asEdges(t: DataFrame) = t.select(col("subj").as("src"),
+      col("pred").as("label"), col("obj").as("dst"))
+    val before = prev.map(asEdges).getOrElse(asEdges(canon).limit(0))
+    graft.graph.Fusion.edgeChurn(before, asEdges(io.read("canon_triples")))
+  }
+
   def main(args: Array[String]): Unit = {
     val nConvs = if (args.nonEmpty) args(0).toLong else 500L
     val spark = SparkSession.builder()
