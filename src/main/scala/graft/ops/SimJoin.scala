@@ -131,6 +131,46 @@ object SimJoin {
       .select(col("a"), col("b"), col("dist"))
   }
 
+  /** Sorted-neighborhood blocking (Hernández & Stolfo, "The merge/purge
+    * problem for large databases", SIGMOD 1995 — public algorithm,
+    * original implementation): records sorted by a blocking key, every two
+    * records within `window` positions become a candidate pair — the
+    * classic complement to hash/LSH blocking (catches near-dups whose keys
+    * sort adjacently even when no shingle or band collides), O(n·window)
+    * pairs by construction. Verification is the caller's composition
+    * (levenshtein / Jaccard).
+    *
+    * Scale shape: the global rank is a range-repartitioned local sort +
+    * zipWithIndex (same discipline as the vertex dictionaries — never a
+    * single-task global window), and the windowed self-join is equi-ized
+    * on rank/window buckets (each row probes its own and the previous
+    * bucket), so both sides shuffle on a uniform 8-byte key. Returns
+    * (a, b, rank_dist) with `a` the sort-earlier record; id and key are
+    * string columns (cast upstream if needed); ties on the key order by
+    * id, keeping the rank total and engine-portable.
+    */
+  def sortedNeighborhoodPairs(recs: DataFrame, idCol: String, keyCol: String,
+                              window: Int, partitions: Int = 32): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val spark = recs.sparkSession
+    import spark.implicits._
+    val w = window
+    val ranked = recs.select(col(keyCol).as("k"), col(idCol).as("id"))
+      .repartitionByRange(partitions, col("k"), col("id"))
+      .sortWithinPartitions("k", "id")
+      .as[(String, String)].rdd.zipWithIndex()
+      .map { case ((_, id), r) => (id, r) }
+      .toDF("id", "rank")
+    val bucket = (col("rank") / w).cast("long")
+    val base = ranked.withColumn("bucket", bucket)
+    val probe = ranked.select(col("id").as("idy"), col("rank").as("ranky"),
+      explode(array(bucket, bucket - 1)).as("bucket"))
+    base.join(probe, "bucket")
+      .where(col("ranky") > col("rank") && col("ranky") - col("rank") < w)
+      .select(col("id").as("a"), col("idy").as("b"),
+        (col("ranky") - col("rank")).as("rank_dist"))
+  }
+
   /** All (a, b, jaccard) id pairs with token-set Jaccard >= minJ, a < b.
     * EXACT: candidate generation is the prefix filter — order every
     * document's distinct tokens by ascending global document frequency

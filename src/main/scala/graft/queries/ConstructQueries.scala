@@ -235,6 +235,24 @@ object ConstructQueries {
         .orderBy("a", "b")
     }),
 
+    "doc_sorted_neighborhood" -> ((s, dir) => {
+      // sorted-neighborhood blocking over the normalized 3-token prefixes
+      // (key == id: surfaces are distinct), window 4, then a levenshtein
+      // verification tally — the blocking-recall companion to
+      // doc_fuzzy_join's exact PassJoin
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val surf = d.select(Extractor.normalizeCol(
+          array_join(slice(split(col("text"), " "), 1, 3), " ")).as("id"))
+        .distinct()
+        .withColumn("key", col("id"))
+      val pairs = SimJoin.sortedNeighborhoodPairs(surf, "id", "key", window = 4)
+      pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        count(when(levenshtein(col("a"), col("b")) <= 2, 1)).as("n_ed2"),
+        sum(pmod(TextOps.portableHash64(concat(col("a"), lit("|"), col("b"))),
+          lit(1000003L))).as("pair_checksum"))
+    }),
+
     "doc_setsim_prefix" -> ((s, dir) => {
       // exact Jaccard >= 0.75 self-join (prefix filter) over word
       // 3-shingle sets (the fixture vocabulary is too small for word-level
@@ -610,6 +628,22 @@ object ConstructQueries {
         |  ON x.str < y.str AND abs(len(x.str) - len(y.str)) <= 2
         |WHERE levenshtein(x.str, y.str) <= 2
         |ORDER BY a, b""".stripMargin,
+
+    // global row_number replays the distributed range-sort rank exactly
+    // (keys are distinct, so the (key, id) tie order never binds)
+    "doc_sorted_neighborhood" ->
+      """WITH surf AS (
+        |  SELECT DISTINCT trim(regexp_replace(translate(lower(
+        |    array_to_string(string_split(text, ' ')[1:3], ' ')),
+        |    'üã', 'ua'), '[^a-z0-9]+', ' ', 'g')) AS k
+        |  FROM documents),
+        |r AS (SELECT k, row_number() OVER (ORDER BY k) - 1 AS rank FROM surf),
+        |p AS (SELECT x.k AS a, y.k AS b
+        |      FROM r x JOIN r y ON y.rank > x.rank AND y.rank - x.rank < 4)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(count(*) FILTER (WHERE levenshtein(a, b) <= 2) AS BIGINT) AS n_ed2,
+        |       CAST(sum(('0x' || substr(md5(a || '|' || b), 1, 15))::BIGINT % 1000003) AS BIGINT) AS pair_checksum
+        |FROM p""".stripMargin,
 
     // True answer via an independent shared-shingle equi-join (complete
     // for t > 0: J >= t needs >= 1 shared element) — no prefix filter on

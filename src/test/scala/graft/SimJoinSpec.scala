@@ -86,6 +86,37 @@ class SimJoinSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("sortedNeighborhoodPairs: exactly the rank pairs within the window (dup keys, ties)") {
+    val recs = Seq(("r1", "bb"), ("r2", "aa"), ("r3", "aa"),
+      ("r4", "cc"), ("r5", "bb"), ("r6", "ab")).toDF("id", "key")
+    // sort by (key, id): r2 r3 r6 r1 r5 r4 — all pairs with rank gap < 3
+    val got = SimJoin.sortedNeighborhoodPairs(recs, "id", "key", window = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val order = Seq("r2", "r3", "r6", "r1", "r5", "r4")
+    val want = (for {
+      i <- order.indices; j <- order.indices if j > i && j - i < 3
+    } yield (order(i), order(j), (j - i).toLong)).toSet
+    assert(got == want)
+  }
+
+  test("sortedNeighborhoodPairs: random corpus matches the O(n*w) ground truth") {
+    var st = 777L
+    def nxt(m: Int): Int = {
+      st = (st * 6364136223846793005L + 1442695040888963407L)
+      (((st >>> 33) % m) + m).toInt % m
+    }
+    val recs = (0 until 120).map(i => (f"id$i%03d", s"k${nxt(30)}%02d-${nxt(10)}"))
+    val w = 5
+    val got = SimJoin.sortedNeighborhoodPairs(recs.toDF("id", "key"), "id", "key", w)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val order = recs.sortBy(p => (p._2, p._1)).map(_._1)
+    val want = (for {
+      i <- order.indices; j <- order.indices if j > i && j - i < w
+    } yield (order(i), order(j))).toSet
+    assert(got == want)
+    assert(got.size == (0 until 120).map(i => math.min(w - 1, 119 - i)).sum)
+  }
+
   private def bruteJac(corpus: Seq[(Long, String)], t: Double): Set[(Long, Long)] =
     (for {
       (ia, sa) <- corpus; (ib, sb) <- corpus if ia < ib
