@@ -314,6 +314,29 @@ class PlanSpec extends AnyFunSuite {
       "exchange between the size and rank windows:\n" + plan.substring(w1, w2))
   }
 
+  test("bloomContamination: probe side is join-free (bitset rides as a literal)") {
+    val corpus = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+    val bench = Seq((9L, "one two three four five six")).toDF("doc_id", "text")
+    val out = graft.ops.Curation.bloomContamination(corpus, bench, "doc_id", "text", n = 5)
+    val plan = planOf(out)
+    // the bitset collect already ran at construction; the remaining plan's
+    // ONLY join is the final left join back to the doc-id spine — gram
+    // flagging itself must be a pure projection (no semi-join against a
+    // gram table, which is the exact shape this op exists to avoid)
+    val joins = "Join ".r.findAllIn(plan).size
+    assert(joins <= 1, s"probe plan has joins beyond the id spine ($joins):\n" +
+      plan.take(1200))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("sortedNeighborhoodPairs: bucket join is equi, no cartesian/nested-loop") {
+    val recs = Seq(("a", "k1"), ("b", "k2"), ("c", "k3")).toDF("id", "key")
+    val plan = planOf(
+      graft.ops.SimJoin.sortedNeighborhoodPairs(recs, "id", "key", 3))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   test("negativeSamples: 1-row vertex count broadcasts; anti-join is equi; zero jobs") {
     val it = Seq((0L, 1L, 1L), (1L, 1L, 2L)).toDF("src_id", "label_id", "dst_id")
     val n = it.sparkSession.range(1).select(lit(4L).as("n_vertices"))
