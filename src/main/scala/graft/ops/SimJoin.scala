@@ -171,6 +171,54 @@ object SimJoin {
         (col("ranky") - col("rank")).as("rank_dist"))
   }
 
+  /** All ordered (a, b, containment) id pairs with
+    * |tok(a) ∩ tok(b)| / |tok(a)| >= minC and a != b — ASYMMETRIC
+    * subset/quote detection (a's token set mostly inside b's; both
+    * directions are distinct pairs). EXACT via the containment prefix
+    * filter: a's prefix is its |a| - ceil(minC*|a|) + 1 globally-rarest
+    * tokens; if none of them occurs ANYWHERE in b, the overlap is at most
+    * the remaining ceil(minC*|a|) - 1 tokens and the pair provably fails.
+    * Unlike the Jaccard filter there is no size filter (b may be
+    * arbitrarily large) and the probe joins a's prefix tokens against the
+    * FULL posting lists — still anti-hot because prefixes are
+    * df-ascending: a frequent token enters a prefix only for a document
+    * made of almost nothing else, and rare tokens have short postings.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       minC: Double): DataFrame = {
+    require(minC > 0.0 && minC <= 1.0, "minC must be in (0, 1]")
+    val tok = docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " +")).as("token"))
+      .where(length(col("token")) > 0)
+      .distinct()
+      .cache()
+    val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
+
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("id").orderBy(col("df"), col("token"))
+    val wAll = Window.partitionBy("id")
+    val eps = 1e-9
+    val prefix = tok.join(dfreq, "token")
+      .withColumn("sz", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wOrd))
+      .where(col("rn") <= col("sz") - ceil(lit(minC) * col("sz") - eps) + 1)
+      .select(col("id"), col("token"), col("sz"))
+
+    val cands = prefix.as("x").join(tok.as("y"),
+        col("x.token") === col("y.token") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"), col("x.sz").as("sa"))
+      .distinct()
+
+    cands
+      .join(tok.select(col("id").as("a"), col("token")), "a")
+      .join(tok.select(col("id").as("b"), col("token")), Seq("b", "token"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"), max("sa").as("sa"))
+      .withColumn("containment", col("inter").cast("double") / col("sa"))
+      .where(col("containment") >= minC)
+      .select(col("a"), col("b"), col("containment"))
+  }
+
   /** All (a, b, jaccard) id pairs with token-set Jaccard >= minJ, a < b.
     * EXACT: candidate generation is the prefix filter — order every
     * document's distinct tokens by ascending global document frequency

@@ -253,6 +253,22 @@ object ConstructQueries {
           lit(1000003L))).as("pair_checksum"))
     }),
 
+    "doc_containment" -> ((s, dir) => {
+      // asymmetric quote/subset detection at containment >= 0.9 over word
+      // 3-shingle sets; oracle is the independent shared-shingle join
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val ts = split(col("text"), " ")
+      val sh = when(size(ts) >= 3,
+        transform(sequence(lit(1), size(ts) - 2),
+          i => array_join(slice(ts, i, lit(3)), "_")))
+        .otherwise(array().cast("array<string>"))
+      val shingled = d.select(col("doc_id"), array_join(sh, " ").as("shtext"))
+      SimJoin.containmentPairs(shingled, "doc_id", "shtext", 0.9)
+        .select(col("a"), col("b"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("a", "b")
+    }),
+
     "doc_setsim_prefix" -> ((s, dir) => {
       // exact Jaccard >= 0.75 self-join (prefix filter) over word
       // 3-shingle sets (the fixture vocabulary is too small for word-level
@@ -644,6 +660,26 @@ object ConstructQueries {
         |       CAST(count(*) FILTER (WHERE levenshtein(a, b) <= 2) AS BIGINT) AS n_ed2,
         |       CAST(sum(('0x' || substr(md5(a || '|' || b), 1, 15))::BIGINT % 1000003) AS BIGINT) AS pair_checksum
         |FROM p""".stripMargin,
+
+    // independent shared-shingle join again (complete for t > 0);
+    // containment divides by the PROBE side's set size only
+    "doc_containment" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], '_') AS token
+        |  FROM tok0, LATERAL unnest(generate_series(1, greatest(len(ts) - 2, 0))) g(i)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i,
+        |         any_value(za.sz) AS sa
+        |  FROM sh a JOIN sh b ON a.token = b.token AND a.doc_id <> b.doc_id
+        |  JOIN sz za ON za.doc_id = a.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b,
+        |       CAST(round(CAST(i AS DOUBLE) / sa, 6) AS DOUBLE) AS containment
+        |FROM pairs WHERE CAST(i AS DOUBLE) / sa >= 0.9
+        |ORDER BY a, b""".stripMargin,
 
     // True answer via an independent shared-shingle equi-join (complete
     // for t > 0: J >= t needs >= 1 shared element) — no prefix filter on

@@ -93,6 +93,24 @@ object CurationQueries {
         sum("contaminated_ngrams").cast("bigint").as("contaminated_sum")))
     }),
 
+    "doc_bench_exposure" -> ((s, dir) => {
+      // the decontamination report read the OTHER way: for every
+      // benchmark item, what fraction of ITS 5-grams leaked into the
+      // training corpus — the per-eval-item compromise list (reuses
+      // ngramContamination with the roles swapped; corpus side becomes
+      // the probe set, so broadcastBench=false keeps the big side
+      // shuffled, not broadcast)
+      val d = docs(s, dir)
+      val bench = d.where(col("doc_id") % 20 === 0)
+      val corpus = d.where(col("doc_id") % 20 =!= 0)
+      Curation.ngramContamination(bench, corpus, "doc_id", "text",
+          n = 5, broadcastBench = false)
+        .select(col("doc_id"),
+          col("total_ngrams"), col("contaminated_ngrams").as("exposed_ngrams"),
+          round(col("contamination_frac"), 6).as("exposure_frac"))
+        .orderBy("doc_id")
+    }),
+
     "doc_contamination_bloom" -> ((s, dir) => {
       // Bloom-bitset contamination flagging (the map-only 100-TB probe):
       // same benchmark split as doc_contamination; the oracle replays the
@@ -342,6 +360,27 @@ object CurationQueries {
          |       CAST(round(avg(frac), 6) AS DOUBLE) AS avg_contamination,
          |       CAST(sum(cont) AS BIGINT) AS contaminated_sum
          |FROM j""".stripMargin,
+
+    "doc_bench_exposure" ->
+      s"""WITH g5 AS (
+         |  SELECT doc_id, ${h64("array_to_string(l[i:i+4], ' ')")} AS h
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t,
+         |       LATERAL unnest(generate_series(1, greatest(len(l) - 4, 0))) g(i)),
+         |gd AS (SELECT DISTINCT doc_id, h FROM g5),
+         |corp AS (SELECT DISTINCT h FROM gd WHERE doc_id % 20 <> 0),
+         |bn AS (SELECT doc_id, h FROM gd WHERE doc_id % 20 = 0),
+         |tot AS (SELECT doc_id, count(*) AS total FROM bn GROUP BY 1),
+         |exp_ AS (SELECT b.doc_id, count(*) AS expn
+         |         FROM bn b JOIN corp c USING (h) GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(tot.total, 0) AS BIGINT) AS total_ngrams,
+         |       CAST(coalesce(exp_.expn, 0) AS BIGINT) AS exposed_ngrams,
+         |       CAST(round(CASE WHEN coalesce(tot.total, 0) > 0
+         |            THEN CAST(coalesce(exp_.expn, 0) AS DOUBLE) / tot.total
+         |            ELSE 0.0 END, 6) AS DOUBLE) AS exposure_frac
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) d
+         |LEFT JOIN tot USING (doc_id) LEFT JOIN exp_ USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // bitset membership == "all k probe positions were set by some
     // benchmark gram": the bloom semantics replay as a position-subset

@@ -149,6 +149,42 @@ class SimJoinSpec extends AnyFunSuite {
     }
   }
 
+  private def bruteCont(corpus: Seq[(Long, String)], t: Double): Set[(Long, Long)] =
+    (for {
+      (ia, sa) <- corpus; (ib, sb) <- corpus if ia != ib
+      xa = sa.split(" +").filter(_.nonEmpty).toSet
+      xb = sb.split(" +").filter(_.nonEmpty).toSet
+      if xa.nonEmpty
+      c = xa.intersect(xb).size.toDouble / xa.size
+      if c >= t
+    } yield (ia, ib)).toSet
+
+  test("containmentPairs == brute force at t=0.8 and t=1.0; asymmetric directions distinct") {
+    var st = 4242L
+    def nxt(m: Int): Int = {
+      st = (st * 6364136223846793005L + 1442695040888963407L)
+      (((st >>> 33) % m) + m).toInt % m
+    }
+    val vocab = (0 until 30).map(i => s"w$i")
+    val corpus = (0 until 50).map { i =>
+      val n = 1 + nxt(8)
+      (i.toLong, (0 until n).map(_ => vocab(nxt(30))).distinct.mkString(" "))
+    } ++ Seq(
+      (50L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"), // superset...
+      (51L, "w0 w1 w2 w3 w4"),                // ...of this (containment 1.0 one way)
+      (52L, ""))
+    val df = corpus.toDF("id", "text")
+    Seq(0.8, 1.0).foreach { t =>
+      val got = SimJoin.containmentPairs(df, "id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == bruteCont(corpus, t), s"mismatch at t=$t")
+    }
+    val at1 = SimJoin.containmentPairs(df, "id", "text", 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at1.contains((51L, 50L))) // 51 fully inside 50
+    assert(!at1.contains((50L, 51L))) // not the other way
+  }
+
   test("prefixJaccardPairs: non-dyadic threshold keeps an exactly-on-boundary pair") {
     // |x| = 20, y ⊂ x with |y| = 14 -> J = 14/20 = 0.7 exactly; the naive
     // size filter computes 0.7*20 = 14.000000000000002 > 14 and would
