@@ -260,9 +260,15 @@ object Canonicalizer {
         coalesce(col("anchor"), col("component"), col("surface")).as("canonical"))
   }
 
-  /** Rewrite a triples table through the canonical map on subj and obj. */
+  /** Rewrite a triples table through the canonical map on subj and obj.
+    * Plain equi-joins: AQE broadcasts the mapping when it is small (the
+    * gazetteer-sized case) and shuffles both sides when a corpus-scale
+    * dictionary makes a forced broadcast impossible — the earlier
+    * `broadcast(mapping)` hint pinned the small-case plan and would OOM
+    * the driver on a web-scale dictionary.
+    */
   def applyTo(triples: DataFrame, mapping: DataFrame): DataFrame = {
-    val m = broadcast(mapping)
+    val m = mapping
     triples
       .join(m.select(col("surface").as("subj"), col("canonical").as("subj_c")), Seq("subj"), "left_outer")
       .join(m.select(col("surface").as("obj"), col("canonical").as("obj_c")), Seq("obj"), "left_outer")

@@ -33,7 +33,11 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("l_suppkey"))
   }
 
-  test("canonical map application uses a broadcast join") {
+  test("canonical map application: a SMALL mapping auto-broadcasts (no forced hint)") {
+    // applyTo carries no broadcast hint (a corpus-scale dictionary must be
+    // allowed to shuffle); Spark's size estimation still broadcasts the
+    // gazetteer-sized case on its own — this pins that the small case
+    // didn't lose its broadcast by dropping the hint
     val triples = Seq(("c", 0, "A", "p", "B")).toDF("conv_id", "turn_idx", "subj", "pred", "obj")
     val mapping = Seq(("A", "a")).toDF("surface", "canonical")
     val plan = planOf(graft.canon.Canonicalizer.applyTo(triples, mapping))
