@@ -332,6 +332,48 @@ object TextOps {
     * cross join (job-free construction). Per-doc reduction is a map-side
     * partial aggregate on the document key.
     */
+  /** Interpolated bigram LM scoring (the CCNet/KenLM-shaped upgrade of
+    * [[unigramLogProb]]): per-doc mean of
+    * ln( λ·c2(w1,w2)/c1(w1) + (1−λ)·c1(w2)/T ) over consecutive token
+    * pairs — corpus-self-trained, always defined (every token is seen, so
+    * the unigram backoff mass is never 0). Docs with < 2 tokens drop, like
+    * the unigram op's empty-doc rule.
+    *
+    * Shape: the model tables are TYPE-level (observed bigrams + vocab) —
+    * the log-probability is computed once per bigram TYPE and the token
+    * instances join that scored table on (w1, w2) exactly once, so
+    * instance rows pay one shuffle, not one per model term; the corpus
+    * total rides as a broadcast 1-row agg. λ defaults to a dyadic 0.75 so
+    * the arithmetic replays bit-identically in the DuckDB twin.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, "lambda must be in (0, 1)")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .where(col("term") =!= "")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val bi = toks.withColumn("nxt", lead(col("term"), 1).over(w))
+      .where(col("nxt").isNotNull)
+    val c1 = toks.groupBy("term").agg(count(lit(1)).cast("double").as("c1"))
+    val total = c1.agg(sum("c1").as("total"))
+    val c2 = bi.groupBy(col("term"), col("nxt"))
+      .agg(count(lit(1)).cast("double").as("c2"))
+    val scored = c2.join(c1, "term")
+      .join(c1.select(col("term").as("nxt"), col("c1").as("c1n")), "nxt")
+      .crossJoin(broadcast(total))
+      .select(col("term"), col("nxt"),
+        org.apache.spark.sql.functions.log(
+          lit(lambda) * (col("c2") / col("c1")) +
+            lit(1.0 - lambda) * (col("c1n") / col("total"))).as("lp"))
+    bi.join(scored, Seq("term", "nxt"))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_bigrams"),
+        avg("lp").as("mean_logprob"))
+  }
+
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))

@@ -208,6 +208,24 @@ object DocQueries {
         .orderBy("source"))
     }),
 
+    "doc_bigram_logprob" -> ((s, dir) => {
+      // interpolated bigram LM scoring (λ=0.75 backoff to the corpus
+      // unigram), same per-source summary + pre-rounding convention as
+      // the unigram query
+      val scored = TextOps.bigramLogProb(docs(s, dir), "doc_id", "text")
+        .withColumn("mean_logprob", round(col("mean_logprob"), 6))
+      roundDoubles(docs(s, dir)
+        .select(col("doc_id").as("id"), col("source"))
+        .join(scored, "id")
+        .groupBy("source").agg(
+          count(lit(1)).as("docs"),
+          sum("n_bigrams").as("total_bigrams"),
+          avg("mean_logprob").as("avg_logprob"),
+          min("mean_logprob").as("min_logprob"),
+          max("mean_logprob").as("max_logprob"))
+        .orderBy("source"))
+    }),
+
     "emb_knn" -> ((s, dir) =>
       Similarity.bruteForceTopK(embs(s, dir), "vec_id", "embedding",
         col("vec_id") < 20, k = 3)
@@ -653,6 +671,38 @@ object DocQueries {
         |SELECT source,
         |       CAST(count(*) AS BIGINT) AS docs,
         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(round(avg(mean_lp), 6) AS DOUBLE) AS avg_logprob,
+        |       CAST(round(min(mean_lp), 6) AS DOUBLE) AS min_logprob,
+        |       CAST(round(max(mean_lp), 6) AS DOUBLE) AS max_logprob
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    "doc_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, l[i] AS term, i AS pos
+        |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS l FROM documents),
+        |       LATERAL unnest(generate_series(1, len(l))) g(i)
+        |  WHERE l[i] <> ''),
+        |bi AS (
+        |  SELECT doc_id, term,
+        |         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |  FROM toks),
+        |bi2 AS (SELECT doc_id, term, nxt FROM bi WHERE nxt IS NOT NULL),
+        |c1 AS (SELECT term, CAST(count(*) AS DOUBLE) AS c1 FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(c1) AS total FROM c1),
+        |c2 AS (SELECT term, nxt, CAST(count(*) AS DOUBLE) AS c2 FROM bi2 GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT c2.term, c2.nxt,
+        |         ln(0.75 * (c2.c2 / a.c1) + 0.25 * (b.c1 / tot.total)) AS lp
+        |  FROM c2 JOIN c1 a ON a.term = c2.term
+        |       JOIN c1 b ON b.term = c2.nxt, tot),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS mean_lp
+        |  FROM bi2 JOIN scored USING (term, nxt) GROUP BY 1),
+        |j AS (SELECT d.source, p.n_bigrams, p.mean_lp
+        |      FROM documents d JOIN perdoc p USING (doc_id))
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
         |       CAST(round(avg(mean_lp), 6) AS DOUBLE) AS avg_logprob,
         |       CAST(round(min(mean_lp), 6) AS DOUBLE) AS min_logprob,
         |       CAST(round(max(mean_lp), 6) AS DOUBLE) AS max_logprob

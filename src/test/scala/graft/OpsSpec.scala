@@ -26,6 +26,21 @@ class OpsSpec extends AnyFunSuite {
       == "the quick brown")
   }
 
+  test("bigramLogProb: hand-computed interpolated probabilities, short docs drop") {
+    // corpus: "a b", "a b", "a c", "x" — c1: a=3, b=2, c=1, x=1, T=7
+    // p(b|a) = 0.75*(2/3) + 0.25*(2/7); p(c|a) = 0.75*(1/3) + 0.25*(1/7)
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.bigramLogProb(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val pba = 0.75 * (2.0 / 3.0) + 0.25 * (2.0 / 7.0)
+    val pca = 0.75 * (1.0 / 3.0) + 0.25 * (1.0 / 7.0)
+    assert(got(1L)._1 == 1L && math.abs(got(1L)._2 - math.log(pba)) < 1e-12)
+    assert(math.abs(got(2L)._2 - math.log(pba)) < 1e-12)
+    assert(math.abs(got(3L)._2 - math.log(pca)) < 1e-12)
+    assert(!got.contains(4L)) // single-token doc has no bigram
+  }
+
   test("exact dedup groups") {
     val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
     val dupGroup = g.filter(_.getLong(2) > 1)
