@@ -266,6 +266,75 @@ object Similarity {
     * larger than (cluster, pos), no driver-side vectors, and `iters`
     * bounds the job count.
     */
+  /** Product-quantization ANN with Asymmetric Distance Computation
+    * (Jégou, Douze, Schmid, "Product quantization for nearest neighbor
+    * search", TPAMI 2011 — public algorithm, original implementation):
+    * the vector splits into `m` contiguous subspaces; subspace j's
+    * codebook is the SEEDED pick (the `nCodes` smallest-id corpus
+    * vectors, sliced to the subspace — the [[ivfSeededTopK]] determinism
+    * convention, so the whole operator has an exact SQL twin); every
+    * corpus vector encodes as m codebook POSITIONS (argmin of
+    * (sub-d² micros, position)); a query scores a candidate by summing
+    * its per-subspace (query-subvector → codeword) distances over the
+    * candidate's codes.
+    *
+    * Distances live in integer MICRO-units (round(d²·1e6)) end to end, so
+    * the m-term sum is order-free and bit-identical across engines.
+    *
+    * Scale shape: the codebook is a one-row broadcast; encoding and the
+    * per-query ADC table are MAP-ONLY; scoring joins the broadcast query
+    * side against corpus CODES — the same pair space as brute force but
+    * each pair costs m lookup-adds instead of dim multiplies, and the
+    * corpus resides as m small ints per vector instead of 8·dim bytes
+    * (the memory-compression contract PQ exists for; compose with IVF
+    * list pruning when the pair space itself must shrink).
+    */
+  def pqTopK(embs: DataFrame, idCol: String, vecCol: String,
+             queryPred: Column, m: Int, nCodes: Int, k: Int): DataFrame = {
+    require(m >= 1 && nCodes >= 1 && k >= 1, "m, nCodes, k must be positive")
+    val e = embs.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    val centsRow = e.orderBy("id").limit(nCodes)
+      .agg(array_sort(collect_list(struct(col("id").as("cid"), col("v").as("cv"))))
+        .as("cents"))
+
+    def sub(vec: Column, j: Column): Column = {
+      val d = size(vec)
+      slice(vec, (floor(j * d / lit(m)) + 1).cast("int"),
+        (floor((j + lit(1)) * d / lit(m)) - floor(j * d / lit(m))).cast("int"))
+    }
+    def d2m(x: Column, c: Column): Column =
+      round((dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c)) * 1e6, 0).cast("long")
+
+    // corpus codes: codes[j] = 1-based position of the argmin codeword
+    val codesCol = transform(sequence(lit(0), lit(m - 1)), j =>
+      array_min(transform(col("cents"), (c, i) =>
+        struct(d2m(sub(col("v"), j), sub(c.getField("cv"), j)).as("dm"),
+          (i + 1).as("p")))).getField("p"))
+    val corpus = e.crossJoin(broadcast(centsRow))
+      .select(col("id"), codesCol.as("codes"))
+
+    // query ADC tables: adc[j][p] = sub-d² micros to codeword p
+    val adcCol = transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(col("cents"), c =>
+        d2m(sub(col("qv"), j), sub(c.getField("cv"), j))))
+    val queries = embs.where(queryPred)
+      .select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("qv"))
+      .crossJoin(broadcast(centsRow))
+      .select(col("query_id"), adcCol.as("adc"))
+
+    val scored = corpus.crossJoin(broadcast(queries))
+      .where(col("query_id") =!= col("id"))
+      .withColumn("adist_micros", aggregate(sequence(lit(1), lit(m)), lit(0L),
+        (acc, j) => acc +
+          element_at(element_at(col("adc"), j), element_at(col("codes"), j))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist_micros").asc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        col("adist_micros"))
+  }
+
   def kmeansLloyd(embs: DataFrame, idCol: String, vecCol: String,
                   k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 0, "need k >= 1, iters >= 0")

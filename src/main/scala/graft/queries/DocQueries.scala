@@ -226,6 +226,14 @@ object DocQueries {
         .orderBy("source"))
     }),
 
+    "emb_pq" -> ((s, dir) =>
+      // product quantization with ADC: 4 subspaces of the 64-dim
+      // embedding, 16 seeded codewords each; integer micro-unit distances
+      // make the m-term sums order-free across engines
+      Similarity.pqTopK(embs(s, dir), "vec_id", "embedding",
+        col("vec_id") < 10, m = 4, nCodes = 16, k = 3)
+        .orderBy("query_id", "rank")),
+
     "emb_knn" -> ((s, dir) =>
       Similarity.bruteForceTopK(embs(s, dir), "vec_id", "embedding",
         col("vec_id") < 20, k = 3)
@@ -707,6 +715,39 @@ object DocQueries {
         |       CAST(round(min(mean_lp), 6) AS DOUBLE) AS min_logprob,
         |       CAST(round(max(mean_lp), 6) AS DOUBLE) AS max_logprob
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    // full PQ replay: seeded per-subspace codebooks (row_number position
+    // over the 16 smallest ids), argmin encoding and query ADC tables in
+    // integer micros, candidate distance = order-free integer sum
+    "emb_pq" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (SELECT v AS cv, row_number() OVER (ORDER BY id) AS p
+        |       FROM (SELECT * FROM e ORDER BY id LIMIT 16)),
+        |sd AS (
+        |  SELECT e.id, g.j, cb.p,
+        |         CAST(round((list_dot_product(s.xs, s.xs)
+        |               - 2 * list_dot_product(s.xs, s.cs)
+        |               + list_dot_product(s.cs, s.cs)) * 1000000, 0) AS BIGINT) AS dm
+        |  FROM e, LATERAL unnest(generate_series(0, 3)) g(j), cb,
+        |       LATERAL (SELECT e.v[(g.j * len(e.v)) // 4 + 1 : ((g.j + 1) * len(e.v)) // 4] AS xs,
+        |                       cb.cv[(g.j * len(cb.cv)) // 4 + 1 : ((g.j + 1) * len(cb.cv)) // 4] AS cs) s),
+        |codes AS (
+        |  SELECT id, j, p FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id, j ORDER BY dm ASC, p ASC) AS rn
+        |    FROM sd) z WHERE rn = 1),
+        |scored AS (
+        |  SELECT qd.id AS query_id, c.id AS id, sum(qd.dm) AS adist_micros
+        |  FROM codes c JOIN sd qd ON qd.j = c.j AND qd.p = c.p AND qd.id <> c.id
+        |  WHERE qd.id < 10
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, id, adist_micros,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY adist_micros ASC, id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, id AS neighbor_id,
+        |       CAST(adist_micros AS BIGINT) AS adist_micros
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "emb_knn" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -41,6 +41,45 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(4L)) // single-token doc has no bigram
   }
 
+  test("pqTopK: m=1 with a full codebook degenerates to exact L2 ranking") {
+    // every vector is its own codeword (own-sub-d2 = 0), so the ADC
+    // distance IS the exact query->candidate d2 in micros
+    var st = 31L
+    def nxt(): Double = {
+      st = (st * 6364136223846793005L + 1442695040888963407L)
+      ((st >>> 33) % 1000).toDouble / 100.0
+    }
+    val embs = (0 until 20).map(i => (i.toLong, Array.fill(8)(nxt().toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.pqTopK(embs, "vec_id", "embedding",
+        $"vec_id" < 5, m = 1, nCodes = 20, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val vecs = embs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    (0L until 5L).foreach { q =>
+      val exact = vecs.keys.filter(_ != q).toSeq
+        .map(c => (vecs(q).zip(vecs(c)).map { case (a, b) => (a - b) * (a - b) }.sum, c))
+        .sortBy { case (d, c) => (d, c) }.take(3).map(_._2)
+      val pq = (1 to 3).map(r => got((q, r)))
+      assert(pq == exact, s"query $q: pq=$pq exact=$exact")
+    }
+  }
+
+  test("pqTopK: m=4 compressed codes keep recall on clustered data") {
+    // 4 tight clusters of 8 vectors; with 16 codewords the top-3 of each
+    // query should stay inside its own cluster (recall 1.0 here)
+    val embs = (0 until 32).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(8)(d => (c * 10.0 + (i / 4) * 0.01 * (d + 1)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.pqTopK(embs, "vec_id", "embedding",
+        $"vec_id" < 4, m = 4, nCodes = 16, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    got.foreach { case (q, n) =>
+      assert(n % 4 == q % 4, s"query $q left its cluster: neighbor $n")
+    }
+  }
+
   test("exact dedup groups") {
     val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
     val dupGroup = g.filter(_.getLong(2) > 1)
