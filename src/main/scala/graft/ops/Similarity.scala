@@ -7,9 +7,18 @@ import org.apache.spark.sql.functions._
 /** Similarity search over embedding columns (Array[Float]).
   *
   * Baseline: brute-force cosine top-k (query set x corpus — a broadcastable
-  * join when the query set is small). Scale path: sign-LSH bucketing with
-  * deterministic integer hyperplanes, so candidates shrink to bucket-mates;
-  * both paths share the same codegen'd dot-product expressions (no UDFs).
+  * join when the query set is small). Scale paths: sign-LSH bucketing with
+  * deterministic integer hyperplanes (candidates shrink to bucket-mates),
+  * IVF coarse quantization (candidates shrink to probed lists), and PQ/ADC
+  * (per-candidate cost and corpus residency shrink to m code lookups);
+  * all paths share the same codegen'd dot-product expressions (no UDFs).
+  *
+  * Deliberately absent: navigable-graph ANN (HNSW/NSW). Greedy graph
+  * descent is an inherently sequential, pointer-chasing search with a
+  * mutable build — the one ANN family with no good shuffle/partition
+  * decomposition. The distributed-native picks above cover the same
+  * recall/latency dials (probe count, band count, code budget) with plans
+  * Catalyst can reason about.
   */
 object Similarity {
 
