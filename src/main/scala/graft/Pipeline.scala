@@ -49,7 +49,8 @@ object Pipeline {
     * numeric long format — use the dedicated CoreMeasures/PageRank APIs.
     *
     * Engine-extra features beyond lodcc's flag set (VERDICT r3 next #9),
-    * same opt-in style: kcore (10-core summary), lpa (community count at 5
+    * same opt-in style: kcore (10-core summary), ktruss (4-truss summary),
+    * lpa (community count at 5
     * label-propagation rounds), hits (max authority/hub at 8 rounds), ppr
     * (max personalized-pagerank rank seeded on the max-out-degree vertex),
     * assortativity (degree assortativity).
@@ -112,6 +113,11 @@ object Pipeline {
           .select(col("core_vertices").as("kcore10_vertices"),
             col("core_edges").as("kcore10_edges"),
             col("max_core_deg").as("kcore10_max_degree"))),
+      "ktruss" -> (() =>
+        graft.algo.KTruss.summary(edges, k = 4)
+          .select(col("truss_edges").as("ktruss4_edges"),
+            col("truss_vertices").as("ktruss4_vertices"),
+            col("max_support").as("ktruss4_max_support"))),
       "lpa" -> (() =>
         graft.algo.LabelPropagation.runFixed(edges, iters = 5)
           .agg(count_distinct(col("community")).as("lpa_communities"))),

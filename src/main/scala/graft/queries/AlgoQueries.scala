@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algo.{Bfs, ConnectedComponents, Hits, KCore, LabelPropagation, PageRank}
+import graft.algo.{Bfs, ConnectedComponents, Hits, KCore, KTruss, LabelPropagation, PageRank}
 import graft.graph.GraphTables
 import graft.sources.NTriples
 import QueryUtil._
@@ -63,6 +63,47 @@ object AlgoQueries {
     * round recomputes degrees over the surviving simple undirected edge
     * set and keeps edges whose BOTH endpoints have degree >= k.
     */
+  /** k-truss unrolled `rounds` support-peel rounds (>= the fixpoint on
+    * both fixtures; extra rounds are no-ops on both engines). Triangle
+    * enumeration is the id-ordered a<b<c 3-way join — per-edge SUPPORT is
+    * orientation-invariant, so it matches the Spark side's degree-ordered
+    * enumeration exactly. MATERIALIZED for the same CTE-inlining reason
+    * as the k-core unroll below.
+    */
+  private def ktrussSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""tri$i AS MATERIALIZED (
+         |  SELECT x.a AS ta, x.b AS tb, y.b AS tc
+         |  FROM e${i - 1} x JOIN e${i - 1} y ON y.a = x.b
+         |  JOIN e${i - 1} z ON z.a = x.a AND z.b = y.b),
+         |sup$i AS MATERIALIZED (
+         |  SELECT a, b, count(*) AS s FROM (
+         |    SELECT ta AS a, tb AS b FROM tri$i
+         |    UNION ALL SELECT ta, tc FROM tri$i
+         |    UNION ALL SELECT tb, tc FROM tri$i) u GROUP BY 1, 2),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.a, e.b, s.s FROM e${i - 1} e
+         |  JOIN sup$i s ON s.a = e.a AND s.b = e.b
+         |  WHERE s.s >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH le AS (
+       |  SELECT 'v' || (l_orderkey % 32768) AS src,
+       |         'v' || (l_partkey % 32768) AS dst
+       |  FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM le WHERE src <> dst),
+       |$steps,
+       |verts AS (SELECT count(DISTINCT v) AS nv FROM (
+       |  SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds) u)
+       |SELECT CAST(count(*) AS BIGINT) AS truss_edges,
+       |       CAST(coalesce(min(s), 0) AS BIGINT) AS min_support,
+       |       CAST(coalesce(max(s), 0) AS BIGINT) AS max_support,
+       |       CAST(coalesce(sum(s), 0) AS BIGINT) AS support_checksum,
+       |       CAST((SELECT nv FROM verts) AS BIGINT) AS truss_vertices
+       |FROM e$rounds""".stripMargin
+  }
+
   private def kcoreSql(k: Int, rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s"""d$i AS MATERIALIZED (
@@ -207,6 +248,16 @@ object AlgoQueries {
     // past convergence are no-ops on both engines)
     "kg_kcore" -> ((s, dir) => KCore.summary(liEdges(s, dir), k = 20)),
 
+    // 3-truss (triangle core with cascading support peel) on a sparser
+    // 32768-vertex derivation — the 4096-vertex graph is so dense at
+    // sf0.1 that no edge ever fails, which would make the query vacuous
+    "kg_ktruss" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/lineitem.parquet").select(
+        concat(lit("v"), pmod(col("l_orderkey"), lit(32768)).cast("string")).as("src"),
+        concat(lit("v"), pmod(col("l_partkey"), lit(32768)).cast("string")).as("dst"))
+      KTruss.summary(e, k = 3)
+    }),
+
     "kg_pagerank" -> ((s, dir) =>
       PageRank.runFixed(smallEdges(s, dir), iters = 10)
         .select(col("vertex"), round(col("rank"), 6).as("rank"))
@@ -315,6 +366,8 @@ object AlgoQueries {
          |) comp GROUP BY component ORDER BY component""".stripMargin,
 
     "kg_kcore" -> kcoreSql(20, 12),
+
+    "kg_ktruss" -> ktrussSql(3, 4),
 
     "kg_pagerank" -> pagerankSql(10),
 

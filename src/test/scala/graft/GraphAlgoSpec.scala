@@ -326,6 +326,33 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(w1.toSet != run(9, 1, 1).toSet)
   }
 
+
+  test("kTruss: K4 survives k=4, a pendant triangle does not; k=3 keeps both") {
+    val k4 = for (i <- 1 to 4; j <- (i + 1) to 4) yield (s"v$i", s"v$j")
+    val pendant = Seq(("v5", "v6"), ("v5", "v7"), ("v6", "v7"))
+    val edges = (k4 ++ pendant).toDF("src", "dst")
+    val t4 = graft.algo.KTruss.run(edges, k = 4).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(t4.keySet == k4.toSet) // only the K4 edges
+    assert(t4.values.forall(_ == 2L)) // each K4 edge sits in 2 triangles
+    val t3 = graft.algo.KTruss.run(edges, k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(t3 == (k4 ++ pendant).toSet) // every edge is in >= 1 triangle
+  }
+
+  test("kTruss: peeling cascades (a surviving edge re-fails after its triangles die)") {
+    // two triangles sharing edge (v1, v2): the shared edge has support 2,
+    // the rest 1 — at k=4, round 1 keeps only the shared edge, whose
+    // support then drops to 0, so the fixpoint is EMPTY (a single pass
+    // would wrongly keep it)
+    val edges = Seq(("v1", "v2"), ("v1", "v3"), ("v2", "v3"),
+      ("v1", "v4"), ("v2", "v4")).toDF("src", "dst")
+    assert(graft.algo.KTruss.run(edges, k = 4).count() == 0)
+    val summary = graft.algo.KTruss.summary(edges, k = 4).head()
+    assert(summary.getAs[Long]("truss_edges") == 0)
+    assert(summary.getAs[Long]("truss_vertices") == 0)
+  }
+
   test("randomWalks: every transition is a real edge; deterministic replay") {
     // denser graph: draws actually vary; check walk validity invariants
     // rather than hand-tracing md5
