@@ -57,6 +57,29 @@ object Extractor {
     * skew on hot conv_ids is bounded because extraction is per-row (map-only,
     * no shuffle after the repartition) and AQE handles downstream joins.
     */
+  /** SFT training-pair extraction from the transcripts table — the
+    * instruction-tuning view of the engine's primary input: every
+    * assistant turn pairs with the NEAREST PRECEDING user turn of its
+    * conversation (tool turns in between are context, never the prompt).
+    * One conv-keyed window pass (`last(user text, ignoreNulls)` over the
+    * preceding frame — the same single-window shape as Coref.resolve, no
+    * join, no explode); both sides gated at `minChars`. Emits
+    * (conv_id, turn_idx, prompt, response); an assistant turn with no
+    * preceding user turn is dropped.
+    */
+  def sftPairs(turns: DataFrame, minChars: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    turns
+      .withColumn("__prompt",
+        last(when(col("role") === "user", col("text")), ignoreNulls = true).over(w))
+      .where(col("role") === "assistant" && col("__prompt").isNotNull &&
+        length(col("text")) >= minChars && length(col("__prompt")) >= minChars)
+      .select(col("conv_id"), col("turn_idx"),
+        col("__prompt").as("prompt"), col("text").as("response"))
+  }
+
   def triples(turns: DataFrame, repartitionBy: Option[Int] = None): DataFrame = {
     val base = reorder(turns, repartitionBy)
     // fused path: one expression call per turn + one codegen'd explode

@@ -130,6 +130,28 @@ class TableIO(spark: SparkSession, root: String) {
         read(table)
     }
 
+  /** [[commit]] with a TARGET OUTPUT-FILE SIZE: the write goes through
+    * AQE's rebalance (the `REBALANCE` hint + advisory partition size), so
+    * Spark splits oversized shuffle partitions and coalesces tiny ones to
+    * `targetBytes` at runtime — no pre-scan, no hand-tuned partition
+    * count. This is the 100-TB file-hygiene knob: a snapshot written from
+    * a skewed upstream stage otherwise lands as a few multi-GB parts next
+    * to thousands of KB-sized ones, both of which poison later scans.
+    */
+  def commitSized(table: String, df: DataFrame, stage: String,
+                  inputSnapshot: String,
+                  targetBytes: Long = 128L << 20): Snapshot = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, targetBytes.toString)
+    try commit(table, df.hint("rebalance"), stage, inputSnapshot)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Bucketed snapshot: persist `df` hash-bucketed AND sorted on `keys`
     * through the session catalog (files live under this TableIO root, the
     * catalog entry carries the bucket spec). Joins and aggregations between

@@ -29,6 +29,28 @@ class ExtractorSpec extends AnyFunSuite {
     assert(got.toSeq == samples.map(TextNorm.normalize))
   }
 
+  test("sftPairs: nearest preceding user prompt, tool turns skipped, gates bind") {
+    import java.sql.Timestamp
+    def t(i: Int) = new Timestamp(1000L * i)
+    val turns = Seq(
+      ("c1", 0, "assistant", "orphan greeting", "", t(0)), // no prior user
+      ("c1", 1, "user", "first question", "", t(1)),
+      ("c1", 2, "assistant", "first answer", "", t(2)),
+      ("c1", 3, "tool", "tool output", "search", t(3)),
+      ("c1", 4, "assistant", "post-tool answer", "", t(4)), // same prompt
+      ("c1", 5, "user", "second question", "", t(5)),
+      ("c1", 6, "assistant", "ok", "", t(6)), // fails minChars=3
+      ("c2", 0, "user", "other conv", "", t(7)),
+      ("c2", 1, "assistant", "other answer", "", t(8)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = Extractor.sftPairs(turns, minChars = 3).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getString(3))).toMap
+    assert(got == Map(
+      ("c1", 2) -> ("first question", "first answer"),
+      ("c1", 4) -> ("first question", "post-tool answer"),
+      ("c2", 1) -> ("other conv", "other answer")))
+  }
+
   test("per-turn text equality under stable (conv_id, turn_idx) ordering") {
     val ds = Transcripts.generate(spark, nConvs = 120, partitions = 7)
     val rows = ds.orderBy("conv_id", "turn_idx").collect()

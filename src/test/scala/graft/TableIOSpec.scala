@@ -67,6 +67,26 @@ class TableIOSpec extends AnyFunSuite {
     assert(idsBefore == idsAfter, "resume must not produce new snapshots")
   }
 
+  test("commitSized: AQE rebalance splits one fat partition to the byte target") {
+    import org.apache.spark.sql.functions.{concat, md5}
+    val root = freshRoot()
+    val io = new TableIO(spark, root)
+    // ~100k rows x ~96B of INCOMPRESSIBLE hex in ONE partition (AQE sizes
+    // partitions by compressed shuffle bytes, so a repetitive pad would
+    // dodge the advisory target); ~512 KB advisory must fan the write out
+    val fat = spark.range(100000)
+      .select($"id", concat(md5($"id".cast("string")),
+        md5(($"id" + 1).cast("string")),
+        md5(($"id" + 2).cast("string"))).as("pad"))
+      .coalesce(1)
+    val snap = io.commitSized("sized", fat, "stage-s", "in@0",
+      targetBytes = 512L << 10)
+    assert(snap.rowCount == 100000)
+    val nParts = io.readLineage("sized").count()
+    assert(nParts > 2, s"rebalance produced only $nParts output files")
+    assert(io.read("sized").count() == 100000)
+  }
+
   test("bucketed snapshots: same-key join runs with ZERO exchange and same result") {
     val root = freshRoot()
     val io = new TableIO(spark, root)
