@@ -79,6 +79,43 @@ object PageRank {
     ranks
   }
 
+  /** Edge-weighted PageRank, fixed iterations: contributions distribute
+    * proportionally to edge weight,
+    *   PR(v) = (1 - d) + d * Σ_{(u,v,w)} PR(u) · w / wsum(u),
+    * the confidence-weighted centrality for a FUSED KG (compose with
+    * [[graft.graph.Fusion.tripleFusion]]'s noisy-or confidences so
+    * well-attested facts carry more rank mass than single-source ones).
+    * Non-positive weights are excluded (they would invert or zero the
+    * distribution). With integer multiplicities as weights this is
+    * EXACTLY [[runFixed]] on the expanded multigraph — the cross-check
+    * GraphAlgoSpec pins. Same plan shape: one contribs shuffle per
+    * iteration against the cached weighted link table.
+    */
+  def runWeightedFixed(edges: DataFrame, wCol: String, iters: Int,
+                       damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col(wCol).cast("double").as("w"))
+      .where(col("w") > 0)
+    val links = e.join(e.groupBy("src").agg(sum("w").as("wsum")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vertices = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = vertices.withColumn("rank", lit(1.0 - damping)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = links
+        .join(ranks, links("src") === ranks("vertex"))
+        .groupBy(col("dst").as("vertex"))
+        .agg(sum(col("rank") * col("w") / col("wsum")).as("c"))
+      ranks = vertices.join(contribs, Seq("vertex"), "left_outer")
+        .select(col("vertex"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    links.unpersist(false)
+    ranks
+  }
+
   /** Personalized PageRank, fixed iterations: the teleport mass lands only
     * on `seeds` (uniformly), so ranks measure importance RELATIVE to the
     * seed set — the standard seeded-entity relevance kernel for KG

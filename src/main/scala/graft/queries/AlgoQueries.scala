@@ -59,6 +59,29 @@ object AlgoQueries {
        |${finalSelect(s"r$iters")}""".stripMargin
   }
 
+  /** Unrolled WEIGHTED PageRank recurrence (PageRank.runWeightedFixed):
+    * contributions rank·w/wsum over the multiplicity-collapsed graph.
+    */
+  private def weightedPagerankSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT v.v AS vertex, CAST(0.15 + 0.85 * coalesce(c.s, 0) AS DOUBLE) AS rank
+         |  FROM verts v LEFT JOIN (
+         |    SELECT l.dst AS d, sum(r.rank * l.w / l.wsum) AS s
+         |    FROM links l JOIN r${k - 1} r ON r.vertex = l.src
+         |    GROUP BY l.dst) c ON c.d = v.v)""".stripMargin
+    }.mkString(",\n")
+    s"""$smallCte,
+       |we AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM ge GROUP BY 1, 2),
+       |links AS (
+       |  SELECT e.src, e.dst, e.w, o.wsum FROM we e
+       |  JOIN (SELECT src, sum(w) AS wsum FROM we GROUP BY src) o ON o.src = e.src),
+       |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM we UNION ALL SELECT dst FROM we) u),
+       |r0 AS (SELECT v AS vertex, CAST(0.15 AS DOUBLE) AS rank FROM verts),
+       |$steps
+       |SELECT vertex, CAST(round(rank, 6) AS DOUBLE) AS rank FROM r$iters ORDER BY vertex""".stripMargin
+  }
+
   /** Unrolled k-core peel d1/e1..dR/eR (graft.algo.KCore.kCore): each
     * round recomputes degrees over the surviving simple undirected edge
     * set and keeps edges whose BOTH endpoints have degree >= k.
@@ -263,6 +286,17 @@ object AlgoQueries {
         .select(col("vertex"), round(col("rank"), 6).as("rank"))
         .orderBy("vertex")),
 
+    // confidence-weighted PageRank: the multigraph collapses to weighted
+    // edges (weight = multiplicity here; in the fused-KG composition the
+    // weight is tripleFusion's noisy-or confidence)
+    "kg_weighted_pagerank" -> ((s, dir) => {
+      val w = smallEdges(s, dir).groupBy("src", "dst")
+        .agg(count(lit(1)).as("w"))
+      PageRank.runWeightedFixed(w, "w", iters = 10)
+        .select(col("vertex"), round(col("rank"), 6).as("rank"))
+        .orderBy("vertex")
+    }),
+
     // rank-value distribution table (A12 parity with lodcc's pagerank plot,
     // `centrality.py:57-79`)
     "kg_pagerank_distribution" -> ((s, dir) =>
@@ -370,6 +404,8 @@ object AlgoQueries {
     "kg_ktruss" -> ktrussSql(3, 4),
 
     "kg_pagerank" -> pagerankSql(10),
+
+    "kg_weighted_pagerank" -> weightedPagerankSql(10),
 
     "kg_pagerank_distribution" -> pagerankSql(10, last =>
       s"""SELECT CAST(round(rank, 6) AS DOUBLE) AS rank, CAST(count(*) AS BIGINT) AS cnt

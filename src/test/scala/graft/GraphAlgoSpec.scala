@@ -353,6 +353,30 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(summary.getAs[Long]("truss_vertices") == 0)
   }
 
+
+  test("runWeightedFixed: multiplicity weights reproduce the multigraph; weights bind") {
+    import org.apache.spark.sql.functions.{col, count, lit, when}
+    val multi = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"),
+      ("c", "a"), ("c", "a"), ("c", "a")).toDF("src", "dst")
+    val collapsed = multi.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val plain = graft.algo.PageRank.runFixed(multi, iters = 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val weighted = graft.algo.PageRank
+      .runWeightedFixed(collapsed, "w", iters = 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(plain.keySet == weighted.keySet)
+    plain.foreach { case (v, r) =>
+      assert(math.abs(weighted(v) - r) < 1e-9, s"$v: $r vs ${weighted(v)}")
+    }
+    // the weight column genuinely binds: skewing one edge moves rank mass
+    val skewed = graft.algo.PageRank.runWeightedFixed(
+      collapsed.withColumn("w",
+        when(col("src") === "a" && col("dst") === "b", col("w") * 5)
+          .otherwise(col("w"))), "w", iters = 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(skewed("b") > weighted("b"))
+  }
+
   test("randomWalks: every transition is a real edge; deterministic replay") {
     // denser graph: draws actually vary; check walk validity invariants
     // rather than hand-tracing md5
