@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.io.{Transcripts, Triple, Turn}
-import graft.streaming.Sessionize
+import graft.streaming.{Sessionize, StreamingSftPairs}
 
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession.spark
@@ -135,6 +135,41 @@ class StreamingSpec extends AnyFunSuite {
             .takeWhile(_ != null).map(_.asInstanceOf[Long])).toMap
       assert(batch.keySet == latest.keySet)
       batch.foreach { case (u, times) => assert(latest(u)._2 == times) }
+    } finally q.stop()
+  }
+
+
+  test("streaming SFT pairs: prompt crosses the batch boundary, equals the batch op") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingSftPairs.pairs(input.toDS(), minChars = 3)
+      .writeStream.outputMode("append").format("memory").queryName("sft_pairs").start()
+    def turn(conv: String, idx: Int, role: String, text: String): Turn =
+      Turn(conv, idx, role, text, "", new java.sql.Timestamp(1000L * idx))
+    val all = Seq(
+      turn("c1", 0, "assistant", "orphan greeting"),
+      turn("c1", 1, "user", "first question"),
+      turn("c1", 2, "assistant", "first answer"),
+      turn("c1", 3, "tool", "tool output"),
+      turn("c1", 4, "assistant", "post-tool answer"),
+      turn("c1", 5, "user", "second question"),
+      turn("c1", 6, "assistant", "ok"), // fails minChars
+      turn("c2", 0, "user", "other conv"),
+      turn("c2", 1, "assistant", "other answer"))
+    try {
+      // split mid-conversation: the c1 prompt from batch 1 must pair with
+      // the assistant turns of batch 2 via state
+      input.addData(all.take(2))
+      q.processAllAvailable()
+      input.addData(all.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("sft_pairs").as[StreamingSftPairs.SftPair]
+        .collect().map(p => (p.conv_id, p.turn_idx) -> (p.prompt, p.response)).toMap
+      val batch = graft.extract.Extractor
+        .sftPairs(all.toDF(), minChars = 3).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getString(3))).toMap
+      assert(streamed == batch)
+      assert(streamed(("c1", 4)) == (("first question", "post-tool answer")))
     } finally q.stop()
   }
 
