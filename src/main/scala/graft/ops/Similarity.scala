@@ -275,6 +275,38 @@ object Similarity {
     * larger than (cluster, pos), no driver-side vectors, and `iters`
     * bounds the job count.
     */
+  /** Johnson–Lindenstrauss random projection (Achlioptas, "Database-
+    * friendly random projections", PODS 2001 — public: ±1 sign matrices
+    * satisfy the JL lemma): maps `vecCol` to `outDim` dimensions via
+    * out[i] = Σ_j v[j]·s(i,j) / √outDim with s(i,j) ∈ {−1, +1} drawn from
+    * the engine's portable hash — fully deterministic, so the projection
+    * has an exact SQL twin and is REPRODUCIBLE across engines, runs, and
+    * cluster sizes (re-embedding a 100-TB corpus after a replanned job
+    * yields byte-identical vectors).
+    *
+    * Scale shape: MAP-ONLY — the sign matrix never materializes (each
+    * cell is a hash of (seed, i, j) computed inside the per-row
+    * expression), so the op is a pure projection at O(dim·outDim) flops
+    * per row feeding any downstream ANN at the reduced dimension.
+    */
+  def jlProject(embs: DataFrame, idCol: String, vecCol: String,
+                outDim: Int, seed: Long = 42L): DataFrame = {
+    require(outDim >= 1, "outDim must be >= 1")
+    val v = toDoubleVec(col(vecCol))
+    val invSqrt = 1.0 / math.sqrt(outDim.toDouble)
+    def signRow(i: Column): Column =
+      transform(sequence(lit(0), size(v) - 1), j =>
+        (TextOps.portableHash64(concat_ws("#",
+          lit(seed.toString), i.cast("string"), j.cast("string")))
+          % lit(2L)).cast("double") * 2.0 - 1.0)
+    // each output coordinate is ONE dot product against an in-expression
+    // sign row — the same codegen'd left-to-right association as
+    // DuckDB's list_dot_product, so the twin is bit-identical
+    val proj = transform(sequence(lit(0), lit(outDim - 1)), i =>
+      dot(v, signRow(i)) * invSqrt)
+    embs.select(col(idCol).as("id"), proj.as("projected"))
+  }
+
   /** Product-quantization ANN with Asymmetric Distance Computation
     * (Jégou, Douze, Schmid, "Product quantization for nearest neighbor
     * search", TPAMI 2011 — public algorithm, original implementation):

@@ -226,6 +226,15 @@ object DocQueries {
         .orderBy("source"))
     }),
 
+    "emb_jl" -> ((s, dir) =>
+      // Johnson–Lindenstrauss ±1 projection to 16 dims (map-only,
+      // hash-derived sign matrix, bit-identical across engines)
+      Similarity.jlProject(embs(s, dir).where(col("vec_id") < 20),
+          "vec_id", "embedding", outDim = 16)
+        .select(col("id"), posexplode(col("projected")).as(Seq("pos", "value")))
+        .select(col("id"), col("pos"), round(col("value"), 6).as("value"))
+        .orderBy("id", "pos")),
+
     "emb_pq" -> ((s, dir) =>
       // product quantization with ADC: 4 subspaces of the 64-dim
       // embedding, 16 seeded codewords each; integer micro-unit distances
@@ -715,6 +724,20 @@ object DocQueries {
         |       CAST(round(min(mean_lp), 6) AS DOUBLE) AS min_logprob,
         |       CAST(round(max(mean_lp), 6) AS DOUBLE) AS max_logprob
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    "emb_jl" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 20),
+        |p AS (
+        |  SELECT id, gi.i AS pos,
+        |         round(list_dot_product(v,
+        |           [CAST(('0x' || substr(md5('42#' || CAST(gi.i AS VARCHAR) || '#'
+        |              || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 2 AS DOUBLE) * 2.0 - 1.0
+        |            FOR j IN generate_series(0, len(v) - 1)])
+        |           * (1.0 / sqrt(16.0)), 6) AS value
+        |  FROM e, LATERAL unnest(generate_series(0, 15)) gi(i))
+        |SELECT id, CAST(pos AS INT) AS pos, CAST(value AS DOUBLE) AS value
+        |FROM p ORDER BY id, pos""".stripMargin,
 
     // full PQ replay: seeded per-subspace codebooks (row_number position
     // over the 16 smallest ids), argmin encoding and query ADC tables in

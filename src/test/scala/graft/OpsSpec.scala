@@ -41,6 +41,34 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(4L)) // single-token doc has no bigram
   }
 
+  test("jlProject: unbiased distance preservation on average; deterministic") {
+    var st = 7L
+    def nxt(): Double = {
+      st = (st * 6364136223846793005L + 1442695040888963407L)
+      (((st >>> 33) % 2000).toDouble - 1000.0) / 100.0
+    }
+    val embs = (0 until 40).map(i => (i.toLong, Array.fill(32)(nxt().toFloat)))
+      .toDF("vec_id", "embedding")
+    def collectProj() = graft.ops.Similarity
+      .jlProject(embs, "vec_id", "embedding", outDim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val p = collectProj()
+    assert(p.values.forall(_.length == 16))
+    assert(collectProj().map { case (k, v) => k -> v.toSeq } ==
+      p.map { case (k, v) => k -> v.toSeq }) // deterministic replay
+    val orig = embs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- 0L until 40L; j <- (i + 1) until 40L
+    } yield d2(p(i), p(j)) / d2(orig(i), orig(j))
+    val mean = ratios.sum / ratios.size
+    // E[ratio] = 1 for the +-1/sqrt(k) JL family; 780 pairs at k=16
+    // concentrate the mean well inside this band
+    assert(mean > 0.8 && mean < 1.2, s"mean distance ratio $mean")
+  }
+
   test("pqTopK: m=1 with a full codebook degenerates to exact L2 ranking") {
     // every vector is its own codeword (own-sub-d2 = 0), so the ADC
     // distance IS the exact query->candidate d2 in micros

@@ -206,6 +206,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+
+  test("streaming SFT pairs TTL: idle prompt state evicted; orphaned response unpaired") {
+    implicit val sqlCtx = spark.sqlContext
+    def turn(conv: String, idx: Int, role: String, text: String, sec: Long): Turn =
+      Turn(conv, idx, role, text, "", new java.sql.Timestamp(sec * 1000L))
+    val input = MemoryStream[Turn]
+    val q = StreamingSftPairs.pairs(input.toDS(), minChars = 1, idleTimeoutSeconds = 60L)
+      .writeStream.outputMode("append").format("memory").queryName("sft_ttl").start()
+    try {
+      input.addData(turn("A", 0, "user", "prompt a", 100))
+      q.processAllAvailable()
+      // watermark sweeps past A's horizon before its assistant arrives
+      input.addData(turn("B", 0, "user", "prompt b", 400))
+      q.processAllAvailable()
+      input.addData(turn("B", 1, "assistant", "answer b", 410))
+      q.processAllAvailable()
+      // A's held prompt was evicted -> this response finds no prompt
+      input.addData(turn("A", 1, "assistant", "late answer a", 420))
+      q.processAllAvailable()
+      val pairs = spark.table("sft_ttl").as[StreamingSftPairs.SftPair].collect()
+        .map(p => p.conv_id -> p.response).toSet
+      assert(pairs == Set("B" -> "answer b"), pairs)
+    } finally q.stop()
+  }
+
   test("streaming funnel TTL: abandoned funnels evicted, unbounded default untouched") {
     import graft.streaming.StreamingFunnel
     implicit val sqlCtx = spark.sqlContext
