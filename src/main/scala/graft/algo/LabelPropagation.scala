@@ -67,4 +67,50 @@ object LabelPropagation {
     */
   def communitySizes(labels: DataFrame): DataFrame =
     labels.groupBy("community").agg(count(lit(1)).cast("bigint").as("size"))
+
+  /** SEEDED (semi-supervised) label propagation: `seeds` (vertex, label)
+    * are CLAMPED — never re-decided — and every other vertex takes the
+    * argmax label among its LABELED neighbors each round (count desc,
+    * smallest label on ties), staying null until a labeled neighbor
+    * appears. The weak-supervision kernel for corpus curation: propagate
+    * a few trusted document labels (human-reviewed language/quality/
+    * domain tags) through a similarity graph. Labels never vanish once
+    * assigned (a labeled vertex always retains >= 1 labeled neighbor), so
+    * the argmax-only recurrence is self-consistent with no keep-last
+    * special case — which also keeps the SQL twin a plain unroll.
+    * Same per-round plan shape as [[runFixed]].
+    */
+  def runSeededFixed(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val nbrs = edges.where(col("src") =!= col("dst"))
+      .select(col("src").as("v"), col("dst").as("u"))
+      .union(edges.where(col("src") =!= col("dst"))
+        .select(col("dst").as("v"), col("src").as("u")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vertices = nbrs.select(col("v").as("vertex")).distinct()
+    val sd = seeds.select(col("vertex"), col("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = vertices.join(sd, Seq("vertex"), "left_outer")
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val prop = nbrs
+        .join(labels.select(col("vertex").as("u"), col("label").as("ul")), "u")
+        .where(col("ul").isNotNull)
+        .groupBy(col("v"), col("ul"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v").as("vertex"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("ul").as("l"))).as("top"))
+        .select(col("vertex"), col("top.l").as("prop_label"))
+      labels = vertices
+        .join(sd, Seq("vertex"), "left_outer")
+        .join(prop, Seq("vertex"), "left_outer")
+        .select(col("vertex"),
+          coalesce(col("label"), col("prop_label")).as("label"))
+        .localCheckpoint(true)
+    }
+    nbrs.unpersist(false)
+    sd.unpersist(false)
+    labels
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.algo.LabelPropagation
 import graft.canon.Canonicalizer
 import graft.extract.{Coref, Extractor, Gazetteer, TextNorm}
 import graft.graph.{Fusion, LinkPredict}
@@ -251,6 +252,40 @@ object ConstructQueries {
         count(when(levenshtein(col("a"), col("b")) <= 2, 1)).as("n_ed2"),
         sum(pmod(TextOps.portableHash64(concat(col("a"), lit("|"), col("b"))),
           lit(1000003L))).as("pair_checksum"))
+    }),
+
+    "doc_label_prop" -> ((s, dir) => {
+      // weak supervision: trusted language tags on every 10th doc
+      // propagate 3 seeded-LPA rounds through the rare-shingle
+      // co-occurrence graph (3-shingles with global df == 2 link exactly
+      // one doc pair each — bounded by construction)
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val ts = split(col("text"), " ")
+      val shArr = when(size(ts) >= 3,
+        transform(sequence(lit(1), size(ts) - 2),
+          i => array_join(slice(ts, i, lit(3)), "_")))
+        .otherwise(array().cast("array<string>"))
+      val sh = d.select(col("doc_id"), explode(shArr).as("token")).distinct()
+      val rare = sh.groupBy("token").agg(count(lit(1)).as("df"))
+        .where(col("df") === 2)
+      val inRare = sh.join(rare.select("token"), Seq("token"), "left_semi")
+      val edges = inRare.as("x").join(inRare.as("y"),
+          col("x.token") === col("y.token") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").cast("string").as("src"),
+          col("y.doc_id").cast("string").as("dst"))
+        .distinct()
+      val seeds = d.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").cast("string").as("vertex"),
+          col("lang").as("label"))
+      val labels = LabelPropagation.runSeededFixed(edges, seeds, iters = 3)
+      labels.agg(
+        count(lit(1)).as("n_vertices"),
+        count(col("label")).as("n_labeled"),
+        count_distinct(col("label")).as("n_labels"),
+        sum(pmod(TextOps.portableHash64(concat_ws("|", col("vertex"),
+          coalesce(col("label"), lit("_none_")))), lit(1000003L)))
+          .as("assign_checksum"))
     }),
 
     "doc_containment" -> ((s, dir) => {
@@ -660,6 +695,47 @@ object ConstructQueries {
         |       CAST(count(*) FILTER (WHERE levenshtein(a, b) <= 2) AS BIGINT) AS n_ed2,
         |       CAST(sum(('0x' || substr(md5(a || '|' || b), 1, 15))::BIGINT % 1000003) AS BIGINT) AS pair_checksum
         |FROM p""".stripMargin,
+
+    // seeded-LPA unroll: per round one labeled-neighbor count argmax
+    // (cnt desc, label asc) with seeds clamped by the coalesce
+    "doc_label_prop" -> {
+      def rnd(i: Int): String =
+        s"""p$i AS (
+           |  SELECT v, l FROM (
+           |    SELECT n.v, lb.label AS l, count(*) AS cnt,
+           |           row_number() OVER (PARTITION BY n.v
+           |             ORDER BY count(*) DESC, lb.label) AS rn
+           |    FROM nbrs n JOIN l${i - 1} lb ON lb.vertex = n.u
+           |    WHERE lb.label IS NOT NULL GROUP BY n.v, lb.label) z
+           |  WHERE rn = 1),
+           |l$i AS (
+           |  SELECT v0.vertex, coalesce(s.label, p.l) AS label
+           |  FROM verts v0
+           |  LEFT JOIN seeds s ON s.vertex = v0.vertex
+           |  LEFT JOIN p$i p ON p.v = v0.vertex)""".stripMargin
+      s"""WITH tok0 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], '_') AS token
+         |       FROM tok0, LATERAL unnest(generate_series(1, greatest(len(ts) - 2, 0))) g(i)),
+         |rare AS (SELECT token FROM (SELECT token, count(*) AS c FROM sh GROUP BY 1) WHERE c = 2),
+         |ed AS (SELECT DISTINCT CAST(x.doc_id AS VARCHAR) AS src,
+         |                       CAST(y.doc_id AS VARCHAR) AS dst
+         |       FROM sh x JOIN sh y USING (token) JOIN rare USING (token)
+         |       WHERE x.doc_id < y.doc_id),
+         |nbrs AS (SELECT src AS v, dst AS u FROM ed UNION ALL SELECT dst, src FROM ed),
+         |verts AS (SELECT DISTINCT v AS vertex FROM nbrs),
+         |seeds AS (SELECT CAST(doc_id AS VARCHAR) AS vertex, lang AS label
+         |          FROM documents WHERE doc_id % 10 = 0),
+         |l0 AS (SELECT v0.vertex, s.label FROM verts v0
+         |       LEFT JOIN seeds s ON s.vertex = v0.vertex),
+         |${rnd(1)},
+         |${rnd(2)},
+         |${rnd(3)}
+         |SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+         |       CAST(count(label) AS BIGINT) AS n_labeled,
+         |       CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+         |       CAST(sum(('0x' || substr(md5(vertex || '|' || coalesce(label, '_none_')), 1, 15))::BIGINT % 1000003) AS BIGINT) AS assign_checksum
+         |FROM l3""".stripMargin
+    },
 
     // independent shared-shingle join again (complete for t > 0);
     // containment divides by the PROBE side's set size only

@@ -354,6 +354,29 @@ class GraphAlgoSpec extends AnyFunSuite {
   }
 
 
+
+  test("runSeededFixed: clamped seeds, round-by-round reach, min-label tie-break, unreachable stays null") {
+    import org.apache.spark.sql.functions.col
+    // sA("A") - m - sB("B")  (m ties -> "A");  sA - x - y (y is 2 hops);
+    // z - w is a disconnected unlabeled component
+    val edges = Seq(("sA", "m"), ("m", "sB"), ("sA", "x"), ("x", "y"),
+      ("z", "w")).toDF("src", "dst")
+    val seeds = Seq(("sA", "A"), ("sB", "B")).toDF("vertex", "label")
+    def labelsAt(iters: Int) = graft.algo.LabelPropagation
+      .runSeededFixed(edges, seeds, iters).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    val l1 = labelsAt(1)
+    assert(l1("sA").contains("A") && l1("sB").contains("B")) // clamped
+    assert(l1("m").contains("A")) // tie A vs B -> min label
+    assert(l1("x").contains("A"))
+    assert(l1("y").isEmpty) // 2 hops: not yet reached
+    assert(l1("z").isEmpty && l1("w").isEmpty)
+    val l2 = labelsAt(2)
+    assert(l2("y").contains("A")) // reached on round 2
+    assert(l2("m").contains("A") && l2("sB").contains("B"))
+    assert(l2("z").isEmpty && l2("w").isEmpty) // no seed in the component
+  }
+
   test("runWeightedFixed: multiplicity weights reproduce the multigraph; weights bind") {
     import org.apache.spark.sql.functions.{col, count, lit, when}
     val multi = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"),
