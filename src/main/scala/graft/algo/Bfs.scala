@@ -27,10 +27,13 @@ object Bfs {
       val next = adj.join(frontier, adj("src") === frontier("vertex"))
         .select(col("dst").as("vertex")).distinct()
         .join(visited, Seq("vertex"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the count below materializes it
       frontierCount = next.count()
       if (frontierCount > 0) {
-        visited = visited.union(next.withColumn("dist", lit(level))).localCheckpoint(true)
+        // lazy too: a pure union of already-materialized frames, computed
+        // inside whichever job consumes it next (the following level's
+        // anti-join count, or the caller's action) — one job per level
+        visited = visited.union(next.withColumn("dist", lit(level))).localCheckpoint(false)
         frontier = next
       }
     }

@@ -62,13 +62,20 @@ object ConnectedComponents {
           .where(col("a") =!= col("b"))
           .distinct()
       }
+      // LAZY localCheckpoint: the plan is truncated now (LogicalRDD), but
+      // the physical materialization happens inside the signature job below
+      // — ONE job per round where the earlier eager-checkpoint-then-agg
+      // shape paid two (the per-round job count is the latency floor of
+      // every CC consumer: kg_cc, dedup clusters, incremental canon, the
+      // bench shuffle leg)
       val next = ss.select(col("a").as("u"), col("b").as("v"))
         .union(ss.select(col("b").as("u"), col("a").as("v")))
         .distinct()
-        .localCheckpoint(true) // truncate lineage every round
+        .localCheckpoint(false)
 
       // overflow-free set signature: count + bitwise XOR of row hashes
-      // (rows are distinct, so XOR is a faithful multiset-free signature)
+      // (rows are distinct, so XOR is a faithful multiset-free signature);
+      // this job also materializes the lazy checkpoint above
       val sigRow = next.agg(
         count(lit(1)).as("c"),
         coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()

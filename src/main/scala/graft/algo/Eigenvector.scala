@@ -23,10 +23,9 @@ object Eigenvector {
     var delta = Double.MaxValue
     while (delta > eps && iter < maxIter) {
       // ONE distributed job per iteration: the L2 norm is folded into the
-      // plan (crossJoin of a 1-row agg, like runFixed) and prev is carried
-      // in the same frame, so the convergence delta below reads only the
-      // just-cached localCheckpoint partitions instead of re-joining two
-      // frames in a second shuffle pass
+      // plan (crossJoin of a 1-row agg, like runFixed), prev is carried in
+      // the same frame, and the checkpoint is LAZY — the delta agg below
+      // materializes it and reads the delta in the same job
       val prev = x.withColumnRenamed("ev", "prev")
       val raw = links.join(prev, links("src") === col("vertex"))
         .groupBy(col("dst").as("vertex"))
@@ -38,7 +37,7 @@ object Eigenvector {
         .select(col("vertex"),
           when(col("nrm") === 0.0, col("s")).otherwise(col("s") / col("nrm")).as("ev"),
           col("prev"), col("nrm"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val row = next.agg(
         coalesce(sum(abs(col("ev") - col("prev"))), lit(0.0)),
         coalesce(max(col("nrm")), lit(0.0))).head()
@@ -62,21 +61,24 @@ object Eigenvector {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = vertices.count()
-    var x = vertices.withColumn("ev", lit(1.0 / math.sqrt(n.toDouble))).localCheckpoint(true)
+    // lazy per-round checkpoints (plan truncated per round, nothing runs
+    // until the single materializing count) — the fixed loop is ONE job
+    var x = vertices.withColumn("ev", lit(1.0 / math.sqrt(n.toDouble))).localCheckpoint(false)
     for (_ <- 1 to iters) {
       val raw = links.join(x, links("src") === x("vertex"))
         .groupBy(col("dst").as("vertex"))
         .agg(sum(col("ev")).as("s"))
       val withAll = vertices.join(raw, Seq("vertex"), "left_outer")
         .select(col("vertex"), coalesce(col("s"), lit(0.0)).as("s"))
-      // norm folded into the plan (crossJoin of a 1-row agg) — one job per
-      // iteration instead of a separate driver action for the norm
+      // norm folded into the plan (crossJoin of a 1-row agg) — never a
+      // separate driver action for the norm
       val normDF = withAll.agg(sqrt(coalesce(sum(col("s") * col("s")), lit(0.0))).as("nrm"))
       x = withAll.crossJoin(normDF)
         .select(col("vertex"),
           when(col("nrm") === 0.0, col("s")).otherwise(col("s") / col("nrm")).as("ev"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
+    x.count() // materialize the chain BEFORE dropping the link cache
     links.unpersist(false)
     x
   }

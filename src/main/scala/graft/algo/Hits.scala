@@ -30,8 +30,12 @@ object Hits {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = vertices.count()
     val init = lit(1.0 / math.sqrt(n.toDouble))
+    // lazy per-step checkpoints throughout: every half-step's plan is
+    // truncated to a LogicalRDD, but nothing executes until the single
+    // materializing count after the loop — the whole fixed iteration runs
+    // as ONE multi-stage job instead of 2 driver round-trips per iteration
     var cur = vertices.select(col("vertex"), init.as("auth"), init.as("hub"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val aRaw = links
         .join(cur.select(col("vertex").as("src"), col("hub")), "src")
@@ -42,7 +46,8 @@ object Hits {
       val auth = aAll.crossJoin(aNorm)
         .select(col("vertex"),
           when(col("an") === 0.0, col("ar")).otherwise(col("ar") / col("an")).as("auth"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // checkpointed: the hub half-step AND the
+                                // iteration output both read it
       val hRaw = links
         .join(auth.select(col("vertex").as("dst"), col("auth").as("a2")), "dst")
         .groupBy(col("src").as("vertex")).agg(sum("a2").as("hr"))
@@ -52,8 +57,9 @@ object Hits {
       val hub = hAll.crossJoin(hNorm)
         .select(col("vertex"),
           when(col("hn") === 0.0, col("hr")).otherwise(col("hr") / col("hn")).as("hub"))
-      cur = auth.join(hub, "vertex").localCheckpoint(true)
+      cur = auth.join(hub, "vertex").localCheckpoint(false)
     }
+    cur.count() // materialize the chain BEFORE dropping the caches
     links.unpersist(false)
     vertices.unpersist(false)
     cur.select("vertex", "auth", "hub")

@@ -48,7 +48,8 @@ object KCore {
         .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
         .select("a", "b")
-        .localCheckpoint(true) // truncate lineage every round
+        .localCheckpoint(false) // lazy: the count below materializes it —
+                                // one job per round, lineage still truncated
       val m2 = next.count()
       cur.unpersist(false)
       cur = next

@@ -27,7 +27,7 @@ object KTruss {
     */
   def run(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
     require(k >= 3, "k must be >= 3 (the 2-truss is the whole simple graph)")
-    var cur = GraphTables.simpleUndirected(edges).localCheckpoint(true)
+    var cur = GraphTables.simpleUndirected(edges).localCheckpoint(false)
     var lastSup: DataFrame = null
     var prev = -1L
     var cnt = cur.count()
@@ -47,7 +47,8 @@ object KTruss {
         .groupBy("a", "b").agg(count(lit(1)).as("support"))
       val next = cur.join(sup, Seq("a", "b"))
         .where(col("support") >= k - 2)
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the count below materializes it —
+                                // one job per round, lineage still truncated
       // when the set stops changing, these supports were computed over
       // exactly the final set — no extra pass needed
       lastSup = next
@@ -55,6 +56,13 @@ object KTruss {
       cnt = cur.count()
       round += 1
     }
+    // an unconverged exit would silently return a non-truss whose supports
+    // were computed over the PREVIOUS round's edge set — fail loudly instead
+    // (mirrors how the bench docs treat unconverged fixpoints)
+    if (cnt != prev)
+      throw new IllegalStateException(
+        s"k-truss peel did not converge in $maxRounds rounds " +
+          s"(edge count still moving: $prev -> $cnt); raise maxRounds")
     if (lastSup == null) cur.withColumn("support", lit(0L)).where(lit(false))
     else lastSup.select(col("a"), col("b"), col("support"))
   }

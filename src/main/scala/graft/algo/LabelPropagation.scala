@@ -41,8 +41,11 @@ object LabelPropagation {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val vertices = nbrs.select(col("v").as("vertex")).distinct()
 
+    // lazy per-round checkpoints + one materializing count after the loop:
+    // the whole fixed iteration runs as ONE multi-stage job (plans still
+    // truncated per round), not `iters` driver round-trips
     var labels = vertices.withColumn("community", col("vertex"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     (1 to iters).foreach { _ =>
       val next = nbrs
         .join(labels.withColumnRenamed("vertex", "u"), "u")
@@ -55,9 +58,10 @@ object LabelPropagation {
         .agg(min(struct((-col("cnt")).as("nc"), col("community").as("l")))
           .as("top"))
         .select(col("vertex"), col("top.l").as("community"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       labels = next
     }
+    labels.count() // materialize the chain BEFORE dropping the neighbor cache
     nbrs.unpersist(false)
     labels
   }
@@ -91,8 +95,9 @@ object LabelPropagation {
     val sd = seeds.select(col("vertex"), col("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // lazy checkpoints + one materializing count, as in [[runFixed]]
     var labels = vertices.join(sd, Seq("vertex"), "left_outer")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     (1 to iters).foreach { _ =>
       val prop = nbrs
         .join(labels.select(col("vertex").as("u"), col("label").as("ul")), "u")
@@ -107,8 +112,9 @@ object LabelPropagation {
         .join(prop, Seq("vertex"), "left_outer")
         .select(col("vertex"),
           coalesce(col("label"), col("prop_label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
+    labels.count() // materialize the chain BEFORE dropping the caches
     nbrs.unpersist(false)
     sd.unpersist(false)
     labels

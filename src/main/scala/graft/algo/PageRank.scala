@@ -34,15 +34,16 @@ object PageRank {
         .groupBy(col("dst").as("vertex"))
         .agg(sum(col("prev") / col("out_deg")).as("c"))
       // fold the convergence check into the rank-update job: carry prev in
-      // the same frame and localCheckpoint (an action that caches) — the
-      // delta agg below then reads only the cached partitions, so each
-      // iteration pays exactly one contribs shuffle instead of two
+      // the same frame; the checkpoint is LAZY (plan truncated now, RDD
+      // cached when first computed), so the delta agg below is the ONE job
+      // per iteration — it materializes the checkpoint and reads the delta
+      // in the same pass
       val next = ranks.withColumnRenamed("rank", "prev")
         .join(contribs, Seq("vertex"), "left_outer")
         .select(col("vertex"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"),
           col("prev"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       delta = next.agg(coalesce(sum(abs(col("rank") - col("prev"))), lit(0.0)))
         .head().getDouble(0)
       ranks = next.select("vertex", "rank")
@@ -64,7 +65,11 @@ object PageRank {
       .union(edges.select(col("dst").as("vertex")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = vertices.withColumn("rank", lit(1.0 - damping)).localCheckpoint(true)
+    // every per-round checkpoint is LAZY: each round's plan is truncated to
+    // a LogicalRDD immediately, but nothing executes until the single count
+    // below — the whole fixed loop runs as ONE multi-stage job (each round's
+    // RDD is cached as it is first computed), not `iters` driver round-trips
+    var ranks = vertices.withColumn("rank", lit(1.0 - damping)).localCheckpoint(false)
     for (_ <- 1 to iters) {
       val contribs = links
         .join(ranks, links("src") === ranks("vertex"))
@@ -73,8 +78,9 @@ object PageRank {
       ranks = vertices.join(contribs, Seq("vertex"), "left_outer")
         .select(col("vertex"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
+    ranks.count() // materialize the chain BEFORE dropping the link cache
     links.unpersist(false)
     ranks
   }
@@ -101,7 +107,8 @@ object PageRank {
       .union(e.select(col("dst").as("vertex")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = vertices.withColumn("rank", lit(1.0 - damping)).localCheckpoint(true)
+    // lazy per-round checkpoints + one materializing count: see runFixed
+    var ranks = vertices.withColumn("rank", lit(1.0 - damping)).localCheckpoint(false)
     for (_ <- 1 to iters) {
       val contribs = links
         .join(ranks, links("src") === ranks("vertex"))
@@ -110,8 +117,9 @@ object PageRank {
       ranks = vertices.join(contribs, Seq("vertex"), "left_outer")
         .select(col("vertex"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
+    ranks.count() // materialize the chain BEFORE dropping the link cache
     links.unpersist(false)
     ranks
   }
@@ -140,7 +148,8 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = when(col("vertex").isInCollection(seeds),
       lit((1.0 - damping) / seeds.size)).otherwise(lit(0.0))
-    var ranks = vertices.select(col("vertex"), base.as("rank")).localCheckpoint(true)
+    // lazy per-round checkpoints + one materializing count: see runFixed
+    var ranks = vertices.select(col("vertex"), base.as("rank")).localCheckpoint(false)
     for (_ <- 1 to iters) {
       val contribs = links
         .join(ranks, links("src") === ranks("vertex"))
@@ -149,8 +158,9 @@ object PageRank {
       ranks = vertices.join(contribs, Seq("vertex"), "left_outer")
         .select(col("vertex"),
           (base + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
+    ranks.count() // materialize the chain BEFORE dropping the caches
     links.unpersist(false)
     vertices.unpersist(false)
     ranks

@@ -21,13 +21,19 @@ object Fusion {
     * triple are exactly the duplicates being merged, so the key cardinality
     * is the output size and hot keys collapse INTO the combine.
     *
-    * `wCol` must be in (0, 1) — ln(1-w) requires it; enforce upstream.
+    * The noisy-or contract wants w in (0, 1); out-of-range weights are
+    * CLAMPED IN-PLAN to [0, 1-1e-12] before the log (ln(1-w) of w >= 1 is
+    * null and sum() would silently drop the assertion): w >= 1 therefore
+    * forces confidence ~1 (a certain source decides the triple), w <= 0
+    * contributes nothing (ln(1) = 0) but still counts in n_assertions.
     */
-  def tripleFusion(triples: DataFrame, srcCol: String, wCol: String): DataFrame =
+  def tripleFusion(triples: DataFrame, srcCol: String, wCol: String): DataFrame = {
+    val w = least(greatest(col(wCol), lit(0.0)), lit(1.0 - 1e-12))
     triples.groupBy("src", "label", "dst").agg(
       count_distinct(col(srcCol)).as("n_sources"),
       count(lit(1)).as("n_assertions"),
-      (lit(1.0) - exp(sum(log(lit(1.0) - col(wCol))))).as("confidence"))
+      (lit(1.0) - exp(sum(log(lit(1.0) - w)))).as("confidence"))
+  }
 
   /** Schema induction over a typed edge list: one row per
     * (class(src), label, class(dst)) with the assertion count and the
@@ -37,16 +43,18 @@ object Fusion {
     *
     * Distinct-pair counting runs as a two-level aggregation (exact
     * distinct on the grouped key, partial-combined), never a
-    * collect_set; class-space output is tiny by construction.
+    * collect_set; class-space output is tiny by construction. The pair
+    * key is the (src, dst) column PAIR itself — a delimiter-concatenated
+    * string key would collide for ids containing the delimiter.
     */
   def schemaStats(edges: DataFrame, classOf: Column => Column): DataFrame =
     edges.select(
         classOf(col("src")).as("src_class"), col("label"),
         classOf(col("dst")).as("dst_class"),
-        concat_ws("|", col("src"), col("dst")).as("__pair"))
+        col("src"), col("dst"))
       .groupBy("src_class", "label", "dst_class").agg(
         count(lit(1)).as("n_assertions"),
-        count_distinct(col("__pair")).as("n_distinct_pairs"))
+        count_distinct(col("src"), col("dst")).as("n_distinct_pairs"))
 
   /** Per-vertex degree evolution between two snapshots of the graph (the
     * KG-maintenance diff after an incremental build): a full-outer

@@ -163,10 +163,20 @@ class TableIO(spark: SparkSession, root: String) {
     * cluster (e.g. 4-16x executor count) and keep it stable across
     * snapshots — TableIOSpec pins the exchange-free plan.
     *
-    * The catalog name is `graft_<table>`; data overwrites in place (the
-    * bucket layout IS the snapshot — callers needing time travel keep
-    * using [[commit]] and re-bucket the head).
+    * The catalog entry is SESSION-GLOBAL, so its name is namespaced by a
+    * slug of this TableIO's root (`graft_<rootslug>_<table>`): two
+    * TableIO instances with different roots in one SparkSession get
+    * disjoint catalog entries instead of silently overwriting each
+    * other's. Data overwrites in place (the bucket layout IS the
+    * snapshot — callers needing time travel keep using [[commit]] and
+    * re-bucket the head).
     */
+  private val rootSlug: String =
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(root) & 0xffffffffL)
+
+  private def bucketedName(table: String) = s"graft_${rootSlug}_$table"
+
   def commitBucketed(table: String, df: DataFrame,
                      keys: Seq[String], buckets: Int): Unit = {
     require(keys.nonEmpty, "need at least one bucket key")
@@ -176,7 +186,7 @@ class TableIO(spark: SparkSession, root: String) {
       .option("path", s"$root/$table/bucketed")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
-      .saveAsTable(s"graft_$table")
+      .saveAsTable(bucketedName(table))
   }
 
   /** Read a bucketed snapshot with its bucket spec intact (reading the
@@ -184,5 +194,5 @@ class TableIO(spark: SparkSession, root: String) {
     * shuffle).
     */
   def readBucketed(table: String): DataFrame =
-    spark.table(s"graft_$table")
+    spark.table(bucketedName(table))
 }

@@ -391,7 +391,7 @@ object ConstructQueries {
         |  SELECT src, label, dst,
         |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
         |         CAST(count(*) AS BIGINT) AS n_assertions,
-        |         1.0 - exp(sum(ln(1.0 - w))) AS confidence
+        |         1.0 - exp(sum(ln(1.0 - least(greatest(w, 0.0), 1.0 - 1e-12)))) AS confidence
         |  FROM t GROUP BY src, label, dst)
         |SELECT n_sources,
         |       CAST(count(*) AS BIGINT) AS n_triples,
@@ -410,7 +410,7 @@ object ConstructQueries {
         |SELECT 'c' || (CAST(substr(src, 2) AS BIGINT) % 8) AS src_class, label,
         |       'c' || (CAST(substr(dst, 2) AS BIGINT) % 8) AS dst_class,
         |       CAST(count(*) AS BIGINT) AS n_assertions,
-        |       CAST(count(DISTINCT src || '|' || dst) AS BIGINT) AS n_distinct_pairs
+        |       CAST(count(DISTINCT (src, dst)) AS BIGINT) AS n_distinct_pairs
         |FROM edges GROUP BY 1, 2, 3
         |ORDER BY n_assertions DESC, src_class, label, dst_class LIMIT 40""".stripMargin,
 

@@ -1,12 +1,14 @@
-package graft
+package graft.tools
 
 import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
 
 /** Dev tool: time a named subset of the gate queries under the exact Bench
   * suite session (local[32], 128 shuffle partitions, AQE), min of 2 passes —
   * for targeted regression checks without the full Bench protocol.
   *
-  * {{{ sbt "runMain graft.QueryTimer doc_minhash_lsh doc_shingle_jaccard" }}}
+  * {{{ sbt "runMain graft.tools.QueryTimer doc_minhash_lsh doc_shingle_jaccard" }}}
   */
 object QueryTimer {
   def main(args: Array[String]): Unit = {
