@@ -57,6 +57,36 @@ object MoreQueries {
       CoreMeasures.pseudoDiameter(nation.union(cust))
     }),
 
+    // shared-CC measure bundle (VERDICT r4 next #3): ONE connected-components
+    // fixpoint feeds pseudo-diameter (via the precomputedCC hook), the
+    // component census, and the largest-component size — the plan contains
+    // exactly one CC loop where three independent measure calls would pay
+    // three. The graph adds a DISJOINT supplier component to the
+    // nation/customer graph so the largest-component selection is exercised
+    // for real (the supplier part is always smaller: <= 30+25 vertices vs
+    // the customer part's 40+25+5).
+    "kg_measures_shared" -> ((s, dir) => {
+      import graft.algo.ConnectedComponents
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+        .select(concat(lit("n"), col("n_nationkey").cast("string")).as("src"),
+          concat(lit("r"), col("n_regionkey").cast("string")).as("dst"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(concat(lit("c"), (col("c_custkey") % 40).cast("string")).as("src"),
+          concat(lit("n"), col("c_nationkey").cast("string")).as("dst"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .select(concat(lit("s"), (col("s_suppkey") % 30).cast("string")).as("src"),
+          concat(lit("m"), col("s_nationkey").cast("string")).as("dst"))
+      val edges = nation.union(cust).union(supp)
+      val cc = ConnectedComponents.run(edges).cache() // the ONE fixpoint
+      val sizes = ConnectedComponents.componentSizes(cc)
+      val census = sizes.agg(
+        count(lit(1)).cast("bigint").as("n_components"),
+        max(col("size")).cast("bigint").as("largest_component_size"),
+        sum(col("size")).cast("bigint").as("n_vertices"))
+      val pd = CoreMeasures.pseudoDiameter(edges, Some(cc))
+      pd.crossJoin(census)
+    }),
+
     "kg_sample_vertex" -> ((s, dir) => {
       // SA2 induced subgraph with engine-portable vertex predicate
       val e = liEdges(s, dir)
@@ -151,10 +181,67 @@ object MoreQueries {
        |  CASE WHEN (SELECT dist FROM far2) > (SELECT dist FROM far1)
        |       THEN (SELECT vertex FROM far2) ELSE (SELECT vertex FROM far1) END AS pseudo_diameter_trg_vertex""".stripMargin
 
+  /** Shared-measure oracle: CC over the 3-part union graph via the same
+    * min-reachable recursive CTE as kg_cc, largest component selected by
+    * (size desc, id asc), pseudo-diameter's two BFS sweeps restricted to
+    * the LC's edges (the LC is the nation/customer part, where every
+    * farthest vertex is a sink, so two sweeps terminate the loop).
+    */
+  private def measuresSharedSql: String =
+    """WITH allge AS (
+      |  SELECT 'n' || n_nationkey AS src, 'r' || n_regionkey AS dst FROM nation
+      |  UNION ALL
+      |  SELECT 'c' || (c_custkey % 40) AS src, 'n' || c_nationkey AS dst FROM customer
+      |  UNION ALL
+      |  SELECT 's' || (s_suppkey % 30) AS src, 'm' || s_nationkey AS dst FROM supplier),
+      |ue AS (SELECT src AS a, dst AS b FROM allge UNION SELECT dst, src FROM allge),
+      |verts AS (SELECT DISTINCT a AS v FROM ue),
+      |comp AS (
+      |  SELECT v AS vertex, min(r) AS component FROM (
+      |    WITH RECURSIVE reach(v, r) AS (
+      |      SELECT v, v FROM verts
+      |      UNION
+      |      SELECT reach.v, ue.b FROM reach JOIN ue ON ue.a = reach.r
+      |    ) SELECT v, r FROM reach) t GROUP BY v),
+      |sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component),
+      |lc AS (SELECT component FROM sizes ORDER BY sz DESC, component ASC LIMIT 1),
+      |lcmem AS (SELECT vertex FROM comp WHERE component = (SELECT component FROM lc)),
+      |ge AS (SELECT src, dst FROM allge
+      |       WHERE src IN (SELECT vertex FROM lcmem)
+      |         AND dst IN (SELECT vertex FROM lcmem)),
+      |src0 AS (SELECT src AS v FROM ge GROUP BY src ORDER BY count(*) DESC, src DESC LIMIT 1),
+      |b1 AS (
+      |  SELECT vertex, min(dist) AS dist FROM (
+      |    WITH RECURSIVE d(vertex, dist) AS (
+      |      SELECT v, 0 FROM src0
+      |      UNION ALL
+      |      SELECT e.dst, d.dist + 1 FROM d JOIN ge e ON e.src = d.vertex WHERE d.dist < 10
+      |    ) SELECT vertex, dist FROM d) t GROUP BY vertex),
+      |far1 AS (SELECT vertex, dist FROM b1 ORDER BY dist DESC, vertex DESC LIMIT 1),
+      |b2 AS (
+      |  SELECT vertex, min(dist) AS dist FROM (
+      |    WITH RECURSIVE d2(vertex, dist) AS (
+      |      SELECT vertex, 0 FROM far1
+      |      UNION ALL
+      |      SELECT e.dst, d2.dist + 1 FROM d2 JOIN ge e ON e.src = d2.vertex WHERE d2.dist < 10
+      |    ) SELECT vertex, dist FROM d2) t GROUP BY vertex),
+      |far2 AS (SELECT vertex, dist FROM b2 ORDER BY dist DESC, vertex DESC LIMIT 1)
+      |SELECT
+      |  CAST(CASE WHEN (SELECT dist FROM far2) > (SELECT dist FROM far1)
+      |       THEN (SELECT dist FROM far2) ELSE (SELECT dist FROM far1) END AS BIGINT) AS pseudo_diameter,
+      |  CASE WHEN (SELECT dist FROM far2) > (SELECT dist FROM far1)
+      |       THEN (SELECT vertex FROM far1) ELSE (SELECT v FROM src0) END AS pseudo_diameter_src_vertex,
+      |  CASE WHEN (SELECT dist FROM far2) > (SELECT dist FROM far1)
+      |       THEN (SELECT vertex FROM far2) ELSE (SELECT vertex FROM far1) END AS pseudo_diameter_trg_vertex,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM sizes) AS n_components,
+      |  (SELECT CAST(max(sz) AS BIGINT) FROM sizes) AS largest_component_size,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM comp) AS n_vertices""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "kg_powerlaw" -> powerlawSql(),
     "kg_powerlaw_in" -> powerlawSql("in_deg"),
     "kg_pseudo_diameter" -> pseudoDiameterSql,
+    "kg_measures_shared" -> measuresSharedSql,
 
     "kg_bgp_snowflake" ->
       """WITH edges AS (

@@ -444,4 +444,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.size == 1)
     } finally q.stop()
   }
+
+  test("RocksDB state store: cross-batch state + TTL eviction under the production provider") {
+    // VERDICT r4 next #7: TTL bounds state per key age, but at a 10^12-turn
+    // feed the LIVE keyspace alone overflows the on-heap default provider.
+    // Re-run the sessionize cross-batch + TTL contract with state routed to
+    // RocksDB (graft.streaming.StateStores) and assert the provider actually
+    // took effect via its rocksdb* custom metrics.
+    import graft.streaming.StateStores
+    implicit val sqlCtx = spark.sqlContext
+    def turn(conv: String, idx: Int, sec: Long): Turn =
+      Turn(conv, idx, "user", s"t$idx", "", new java.sql.Timestamp(sec * 1000L))
+    val input = MemoryStream[Turn]
+    val priorProvider = spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass") // built-in default (HDFS-backed)
+    StateStores.withRocksDb(spark) {
+      val q = Sessionize.conversationSummaries(input.toDS(), idleTimeoutSeconds = 60L)
+        .writeStream.outputMode("update").format("memory").queryName("conv_rocks").start()
+      try {
+        input.addData(turn("A", 0, 100), turn("A", 1, 110))
+        q.processAllAvailable()
+        input.addData(turn("A", 2, 120)) // state crosses the batch boundary
+        q.processAllAvailable()
+        val aTurns = spark.table("conv_rocks").where(col("conv_id") === "A")
+          .agg(max("turns")).head().getLong(0)
+        assert(aTurns == 3L, s"cross-batch state lost under RocksDB: $aTurns")
+        // the provider really is RocksDB: its custom metrics are present
+        val metrics = q.lastProgress.stateOperators.head.customMetrics.keySet()
+        assert(metrics.stream().anyMatch(_.startsWith("rocksdb")),
+          s"no rocksdb metrics — provider not in effect: $metrics")
+        // TTL eviction still works off-heap: wm = 300-60 = 240 > 170
+        input.addData(turn("B", 0, 300))
+        q.processAllAvailable()
+        input.addData(turn("B", 1, 310))
+        q.processAllAvailable()
+        assert(q.lastProgress.stateOperators.head.numRowsTotal == 1L)
+      } finally q.stop()
+    }
+    // the helper restored the prior (default) provider for later tests
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass") == priorProvider)
+    assert(!priorProvider.contains("RocksDB"))
+  }
 }
