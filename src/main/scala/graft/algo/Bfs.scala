@@ -41,6 +41,39 @@ object Bfs {
     visited
   }
 
+  /** Directed BFS distances from a SET of sources in ONE fixpoint: the
+    * frontier is keyed (seed, vertex), so k seeds cost max-eccentricity
+    * rounds total instead of k independent BFS loops — the scale shape for
+    * sampled centralities (harmonic/closeness), where k is a constant and
+    * the per-round join fans each frontier row by its out-degree. Same
+    * lazy-checkpoint/one-job-per-level discipline as [[distances]].
+    * Returns (seed, vertex, dist) with dist = min #hops seed -> vertex.
+    */
+  def multiSourceDistances(edges: DataFrame, seeds: Seq[String]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val adj = edges.select("src", "dst").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = seeds.map(s => (s, s, 0L)).toDF("seed", "vertex", "dist")
+      .localCheckpoint(true)
+    var frontier = visited.select("seed", "vertex")
+    var level = 0L
+    var frontierCount = seeds.size.toLong
+    while (frontierCount > 0) {
+      level += 1
+      val next = adj.join(frontier, adj("src") === frontier("vertex"))
+        .select(col("seed"), col("dst").as("vertex")).distinct()
+        .join(visited, Seq("seed", "vertex"), "left_anti")
+        .localCheckpoint(false) // lazy: the count below materializes it
+      frontierCount = next.count()
+      if (frontierCount > 0) {
+        visited = visited.union(next.withColumn("dist", lit(level))).localCheckpoint(false)
+        frontier = next
+      }
+    }
+    adj.unpersist(false)
+    visited
+  }
+
   /** Farthest vertex from source: (vertex, dist); ties -> greatest vertex. */
   def farthest(dists: DataFrame): (String, Long) = {
     val r = dists.agg(

@@ -96,8 +96,15 @@ object Canonicalizer {
       .where(col("inter").cast("double") / (col("sa") + col("sb") - col("inter")) >= minJ)
       .select(col("a").as("src"), col("b").as("dst"))
 
+    // the CC kernel scans its edge input several times (vertex-universe
+    // pin + the first star round); cache the verified chain so the LSH +
+    // Jaccard-verify joins run once — all scans happen inside run(), so
+    // the cache is released as soon as it returns (same shape as the
+    // incremental path's edges cache)
     val edges = exactEdges.union(verified)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cc = ConnectedComponents.run(edges)
+    edges.unpersist(false)
     // surfaces that collected no edge are their own canonical form
     s.join(cc.withColumnRenamed("vertex", "surface"), Seq("surface"), "left_outer")
       .select(col("surface"), coalesce(col("component"), col("surface")).as("canonical"))

@@ -470,6 +470,50 @@ object Curation {
     * `lineSep` is a regex (Spark split semantics); reassembly joins with
     * `joinSep`.
     */
+  /** CCNet/Dolma-style PARAGRAPH-level dedup: across the whole corpus,
+    * each distinct non-empty paragraph is kept only at its FIRST occurrence
+    * (global order = (doc id, position)); later occurrences are dropped
+    * from their documents. Differs from [[removeBoilerplate]] (which drops
+    * every copy of high-document-frequency lines) and from document-level
+    * dedup (which keeps/drops whole docs): here the unit is the paragraph
+    * and exactly one copy survives. Empty paragraphs are structural and
+    * always kept.
+    *
+    * Scale shape: paragraphs shuffle once on their 64-bit content hash for
+    * the first-occurrence argmin (map-side partial min), once more for the
+    * keeper equi-join (NOT broadcast — the keeper table is the distinct
+    * paragraph set, corpus-sized), then one groupBy(doc) rebuild. No
+    * windows over the corpus, no driver-side state; volume is linear in
+    * total paragraphs.
+    *
+    * Returns (idCol, n_paras_kept, n_paras_removed, text_clean).
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     lineSep: String = "\n",
+                     joinSep: String = "\n"): DataFrame = {
+    val paras = docs.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), lineSep)).as(Seq("pos", "para")))
+    val nonEmpty = paras.where(length(trim(col("para"))) > 0)
+      .withColumn("h", TextOps.portableHash64(col("para")))
+    val keepers = nonEmpty.groupBy("h")
+      .agg(min(struct(col("__id"), col("pos"))).as("k"))
+      .select(col("h"), col("k.__id").as("__kid"), col("k.pos").as("__kpos"))
+    val tagged = nonEmpty.join(keepers, "h")
+      .select(col("__id"), col("pos"), col("para"),
+        (col("__id") === col("__kid") && col("pos") === col("__kpos")).as("__kept"))
+      .unionByName(paras.where(length(trim(col("para"))) === 0)
+        .select(col("__id"), col("pos"), col("para"), lit(true).as("__kept")))
+    tagged.groupBy(col("__id").as(idCol)).agg(
+      sum(when(col("__kept"), 1L).otherwise(0L)).as("n_paras_kept"),
+      sum(when(col("__kept"), 0L).otherwise(1L)).as("n_paras_removed"),
+      array_join(
+        transform(
+          array_sort(collect_list(
+            when(col("__kept"), struct(col("pos"), col("para"))))),
+          x => x.getField("para")),
+        joinSep).as("text_clean"))
+  }
+
   def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                         minDocs: Long, lineSep: String = "\n",
                         joinSep: String = "\n"): DataFrame = {

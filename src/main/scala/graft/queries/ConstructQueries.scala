@@ -135,6 +135,25 @@ object ConstructQueries {
           lit(1000003L))).as("clean_checksum"))
     }),
 
+    "doc_paragraph_dedup" -> ((s, dir) => {
+      // CCNet/Dolma-style paragraph dedup: impose deterministic paragraph
+      // structure (8-token sentences, one per line) on the single-line
+      // corpus, then keep only the corpus-wide FIRST occurrence of each
+      // paragraph — per-doc counts + a reconstruction checksum pin the
+      // rebuilt text without shipping it
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val toks = split(col("text"), " +")
+      val np = floor((size(toks) + lit(7)) / lit(8.0)).cast("int")
+      val body = array_join(
+        transform(sequence(lit(0), np - 1),
+          i => array_join(slice(toks, i * 8 + 1, lit(8)), " ")), "\n")
+      val pd = graft.ops.Curation.paragraphDedup(
+        d.select(col("doc_id"), body.as("text2")), "doc_id", "text2")
+      pd.select(col("doc_id"), col("n_paras_kept"), col("n_paras_removed"),
+        pmod(graft.ops.TextOps.portableHash64(col("text_clean")),
+          lit(1000003L)).as("clean_checksum"))
+    }),
+
     "kg_snapshot_diff" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet").select(
         concat(lit("v"), (col("l_orderkey") % 4096).cast("string")).as("src"),
@@ -463,6 +482,28 @@ object ConstructQueries {
         |       CAST(sum(length(text_clean)) AS BIGINT) AS clean_chars,
         |       CAST(sum(('0x' || substr(md5(text_clean), 1, 15))::BIGINT % 1000003) AS BIGINT) AS clean_checksum
         |FROM perdoc""".stripMargin,
+
+    // first-occurrence via row_number over the para STRING — equivalent to
+    // the op's 64-bit-hash grouping modulo md5 collisions
+    "doc_paragraph_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS l FROM documents),
+        |sents AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |         array_to_string(l[i*8+1:i*8+8], ' ') AS para
+        |  FROM t, LATERAL unnest(generate_series(0, (len(l)+7)//8 - 1)) g(i)),
+        |ne AS (SELECT doc_id, pos, para,
+        |         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1 AS kept
+        |       FROM sents WHERE trim(para) <> ''),
+        |alls AS (SELECT doc_id, pos, para, kept FROM ne
+        |  UNION ALL
+        |  SELECT doc_id, pos, para, true AS kept FROM sents WHERE trim(para) = '')
+        |SELECT doc_id,
+        |  CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_paras_kept,
+        |  CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_paras_removed,
+        |  CAST(('0x' || substr(md5(coalesce(
+        |         string_agg(CASE WHEN kept THEN para END, chr(10) ORDER BY pos),
+        |         '')), 1, 15))::BIGINT % 1000003 AS BIGINT) AS clean_checksum
+        |FROM alls GROUP BY doc_id""".stripMargin,
 
     "kg_snapshot_diff" ->
       """WITH li AS (

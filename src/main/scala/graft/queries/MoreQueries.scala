@@ -87,6 +87,26 @@ object MoreQueries {
       pd.crossJoin(census)
     }),
 
+    // sampled harmonic centrality (engine addition): k=4 seed vertices
+    // (top out-degree over the DISTINCT edge set, ties to the greatest
+    // vertex), ONE multi-source BFS fixpoint — the frontier is keyed
+    // (seed, vertex), so k seeds cost max-eccentricity rounds total, the
+    // scale shape for sampled centralities at constant k —
+    // harmonic(v) = sum over seeds s of 1/d(s, v), d > 0
+    "kg_harmonic" -> ((s, dir) => {
+      import graft.algo.Bfs
+      val e = liEdges(s, dir).select("src", "dst").distinct().cache()
+      val seeds = e.groupBy("src").agg(count(lit(1)).as("od"))
+        .orderBy(col("od").desc, col("src").desc).limit(4)
+        .collect().map(_.getString(0)).toSeq // O(k) driver rows
+      val d = Bfs.multiSourceDistances(e, seeds)
+      e.unpersist(false) // all BFS jobs ran inside the fixpoint above
+      d.where(col("dist") > 0)
+        .groupBy("vertex")
+        .agg(round(sum(lit(1.0) / col("dist")), 6).as("harmonic"),
+          count(lit(1)).cast("bigint").as("n_seeds_reaching"))
+    }),
+
     "kg_sample_vertex" -> ((s, dir) => {
       // SA2 induced subgraph with engine-portable vertex predicate
       val e = liEdges(s, dir)
@@ -242,6 +262,30 @@ object MoreQueries {
     "kg_powerlaw_in" -> powerlawSql("in_deg"),
     "kg_pseudo_diameter" -> pseudoDiameterSql,
     "kg_measures_shared" -> measuresSharedSql,
+
+    // BFS via a DEDUPING recursion — (seed, vertex, dist) triples, not
+    // paths — so the dense liEdges graph cannot blow up the CTE; min(dist)
+    // per (seed, vertex) is the BFS distance. Depth cap 12 >> the dense
+    // graph's eccentricity (~4); a cap breach would surface as a parity
+    // mismatch, not a silent truncation.
+    "kg_harmonic" ->
+      s"""$edgesCte,
+         |de AS (SELECT DISTINCT src, dst FROM edges),
+         |seeds AS (SELECT src AS seed FROM de GROUP BY src
+         |          ORDER BY count(*) DESC, src DESC LIMIT 4),
+         |d AS (
+         |  SELECT seed, vertex, min(dist) AS dist FROM (
+         |    WITH RECURSIVE r(seed, vertex, dist) AS (
+         |      SELECT seed, seed, 0 FROM seeds
+         |      UNION
+         |      SELECT r.seed, de.dst, r.dist + 1
+         |      FROM r JOIN de ON de.src = r.vertex WHERE r.dist < 12
+         |    ) SELECT seed, vertex, dist FROM r) t
+         |  GROUP BY seed, vertex)
+         |SELECT vertex,
+         |  CAST(round(sum(1.0/dist), 6) AS DOUBLE) AS harmonic,
+         |  CAST(count(*) AS BIGINT) AS n_seeds_reaching
+         |FROM d WHERE dist > 0 GROUP BY vertex""".stripMargin,
 
     "kg_bgp_snowflake" ->
       """WITH edges AS (

@@ -13,7 +13,10 @@ import graft.SparkEntry
 object QueryTimer {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val names = if (args.nonEmpty) args.toSeq else Seq("doc_minhash_lsh")
+    val names =
+      if (args.sameElements(Array("ALL"))) SparkEntry.queries.keys.toSeq.sorted
+      else if (args.nonEmpty) args.toSeq
+      else Seq("doc_minhash_lsh")
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-query-timer")

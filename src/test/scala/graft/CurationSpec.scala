@@ -261,4 +261,21 @@ class CurationSpec extends AnyFunSuite {
     assert(all.count() == 104L)
     assert(all.select("keep_rate").distinct().collect().map(_.getDouble(0)).toSet == Set(1.0))
   }
+
+  test("paragraphDedup: corpus-wide first occurrence wins, empties kept, order preserved") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\nalpha"), // alpha repeats WITHIN the doc
+      (2L, "beta\ngamma"),        // beta's first occurrence is doc 1
+      (3L, "\ngamma\ndelta"))     // leading empty paragraph is structural
+      .toDF("doc_id", "text")
+    val out = Curation.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 1L, "alpha\nbeta")))   // second alpha dropped
+    assert(out(2L) == ((1L, 1L, "gamma")))          // beta dropped (doc 1 first)
+    assert(out(3L) == ((2L, 1L, "\ndelta")))        // empty kept, gamma dropped
+    // unlike removeBoilerplate, exactly ONE copy of each paragraph survives
+    val survivors = out.values.flatMap(_._3.split("\n")).filter(_.nonEmpty).toSeq
+    assert(survivors.sorted == Seq("alpha", "beta", "delta", "gamma"))
+  }
 }

@@ -422,4 +422,20 @@ class GraphAlgoSpec extends AnyFunSuite {
       path.sliding(2).foreach(p => assert(edgeSet((p(0), p(1)))))
     }
   }
+
+  test("multiSourceDistances: one fixpoint == per-seed Bfs.distances; unreached absent") {
+    // directed chain a->b->c->d plus a disconnected e->f
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"))
+      .toDF("src", "dst")
+    val seeds = Seq("a", "e", "c")
+    val multi = Bfs.multiSourceDistances(edges, seeds)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    seeds.foreach { s =>
+      val single = Bfs.distances(edges, s)
+        .collect().map(r => (s, r.getString(0)) -> r.getLong(1)).toMap
+      assert(multi.filter(_._1._1 == s) == single, s"seed $s")
+    }
+    assert(multi(("a", "d")) == 3L && multi(("e", "f")) == 1L && multi(("c", "c")) == 0L)
+    assert(!multi.contains(("e", "a"))) // unreached pairs are absent, not infinite
+  }
 }
