@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.CurationQueries.queries ++
       graft.queries.EventQueries.queries ++
       graft.queries.SearchQueries.queries ++
-      graft.queries.ConstructQueries.queries
+      graft.queries.ConstructQueries.queries ++
+      graft.queries.AnalyticsQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.CurationQueries.oracleSql ++
       graft.queries.EventQueries.oracleSql ++
       graft.queries.SearchQueries.oracleSql ++
-      graft.queries.ConstructQueries.oracleSql
+      graft.queries.ConstructQueries.oracleSql ++
+      graft.queries.AnalyticsQueries.oracleSql
 }

@@ -261,4 +261,37 @@ object EventOps {
       .withColumn("session_id",
         concat(col(keyCol).cast("string"), lit("#"), col("session_idx")))
   }
+
+  /** First/last-touch conversion attribution: for every conversion event
+    * (`typeCol` == `conversionType`), find the earliest and latest touch
+    * event (`typeCol` in `touchTypes`) of the same `keyCol` STRICTLY before
+    * the conversion and within `lookbackSeconds`. Returns the conversion
+    * rows with `first_touch_type` / `last_touch_type` (null when no touch
+    * in window).
+    *
+    * One shuffle on the key: both models are RANGE-frame window aggregates
+    * over the same (key, ts-micros) sort, so Spark folds them into a single
+    * exchange+sort — no self-join, no per-conversion scan. Ties (equal ts)
+    * are pinned by (ts, idCol) through a zero-padded sortable encoding so
+    * both engines pick the same touch row.
+    */
+  def attribution(events: DataFrame, keyCol: String, tsCol: String,
+                  idCol: String, typeCol: String,
+                  conversionType: String, touchTypes: Seq[String],
+                  lookbackSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(epochMicros(col(tsCol)))
+      .rangeBetween(-lookbackSeconds * 1000000L, -1L)
+    // sortable encoding: ts then id pin the row, the type rides along
+    val key = concat(
+      lpad(epochMicros(col(tsCol)).cast("string"), 20, "0"), lit(":"),
+      lpad(col(idCol).cast("string"), 12, "0"), lit(":"), col(typeCol))
+    val touchKey = when(col(typeCol).isin(touchTypes: _*), key)
+    events
+      .withColumn("first_touch_type",
+        substring_index(min(touchKey).over(w), ":", -1))
+      .withColumn("last_touch_type",
+        substring_index(max(touchKey).over(w), ":", -1))
+      .where(col(typeCol) === conversionType)
+  }
 }

@@ -387,4 +387,96 @@ object TextOps {
         avg(org.apache.spark.sql.functions.log(col("c") / col("total")))
           .as("mean_logprob"))
   }
+
+  /** BM25 relevance of every document against a fixed bag of query terms
+    * (Robertson/Sparck-Jones with the Lucene non-negative idf:
+    * ln(1 + (N - df + 0.5)/(df + 0.5))).
+    *
+    * Returns (id, n_hit_terms, score). Scale shape: the token stream is
+    * filtered to the query terms BEFORE the tf aggregation, so the only
+    * full-corpus pass is the map-side doc-length count; df and N are
+    * O(|Q|) and O(1) broadcast folds. Nothing driver-side, no windows.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+    // doc length over ALL tokens (not just query terms)
+    val dl = toks.groupBy("id").agg(count(lit(1)).cast("double").as("dl"))
+    val nAvg = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      .crossJoin(dl.agg(sum("dl").as("tok_total")))
+      .select(col("n_docs"), (col("tok_total") / col("n_docs")).as("avgdl"))
+    val qtf = toks.where(col("term").isin(queryTerms: _*))
+      .groupBy("id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = qtf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    qtf.join(broadcast(dfreq), "term")
+      .join(dl, "id")
+      .crossJoin(broadcast(nAvg))
+      .select(col("id"),
+        (org.apache.spark.sql.functions.log(
+          lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * col("tf") * lit(k1 + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("contrib"))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("bigint").as("n_hit_terms"),
+        sum("contrib").as("score"))
+  }
+
+  /** Content-defined chunking (rolling-boundary CDC, the storage-dedup /
+    * shifted-content-dedup chunker): a chunk boundary falls AFTER every
+    * token whose [[portableHash31]] % `modulus` == 0, so chunk boundaries
+    * are a function of CONTENT — an insertion near the head of a document
+    * re-chunks only the chunk it lands in, unlike fixed-stride
+    * [[chunkByTokens]] where everything downstream shifts. Expected chunk
+    * length is `modulus` tokens.
+    *
+    * Returns (id, chunk_id, n_tokens, chunk_text). One doc-keyed window
+    * (high-cardinality key, no salt needed) + one groupBy; the chunk text
+    * is reassembled order-exact via a sorted struct collect.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                modulus: Int = 16): DataFrame = {
+    require(modulus > 1, "modulus must be > 1")
+    val t = docs
+      .select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .where(col("tok") =!= "")
+    val w = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = when(portableHash31(col("tok")) % modulus === 0, 1L)
+      .otherwise(0L)
+    t.withColumn("chunk_id", coalesce(sum(boundary).over(w), lit(0L)))
+      .groupBy("id", "chunk_id")
+      .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("chunk_text"))
+  }
+
+  /** Canonical form of a URL column for URL-level dedup: lowercase scheme
+    * and host, default :80/:443 port stripped, fragment dropped, trailing
+    * path slashes dropped, utm_* tracking params dropped and the surviving
+    * query params sorted. Pure composed builtins (regexp + array ops), one
+    * map-side projection — mirrors byte-for-byte in the DuckDB twin.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val base = regexp_extract(noFrag, "^([^?]*)", 1)
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val scheme = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1)),
+      ":(443|80)$", "")
+    val path = regexp_replace(
+      regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$", 1),
+      "/+$", "")
+    val params = array_join(
+      array_sort(filter(split(query, "&"),
+        p => p =!= "" && !p.startsWith("utm_"))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(params =!= "", concat(lit("?"), params)).otherwise(lit("")))
+  }
 }
