@@ -105,7 +105,11 @@ object Bench {
     * whenever the timed jobs' code or inputs change materially, so history
     * from a different workload can never satisfy the gate.
     */
-  private val ProtocolVersion = 5
+  // proto 6: CC kernel reworked (eager per-round checkpoint restored after
+  // the lazy-fold recompute regression; single-scan explode_outer
+  // symmetrize) — the shuffle leg's workload changed, so proto-5 history
+  // is orphaned by fingerprint.
+  private val ProtocolVersion = 6
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

