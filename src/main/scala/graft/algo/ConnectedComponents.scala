@@ -31,21 +31,93 @@ object ConnectedComponents {
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
 
-  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val spark = edges.sparkSession
-    var pairs = symmetrized(edges)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  /** Vertex ids that iterate cheaply as-is — anything else goes through the
+    * order-free hash encode in [[run]] (8-byte longs shuffle 2-4x fewer
+    * bytes per round than UTF8 strings; measured 43 -> 22 s at 8 cores on
+    * the 71M-edge bench leg, and the savings compound at every round of
+    * every rerun).
+    */
+  private def numericVertices(edges: DataFrame): Boolean = {
+    import org.apache.spark.sql.types._
+    Seq(edges.schema("src").dataType, edges.schema("dst").dataType).forall {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+  }
 
+  /** Component assignment over arbitrary vertex ids. Non-numeric ids are
+    * hash-encoded to longs for the fixpoint (the iterated shuffles carry
+    * 8-byte keys instead of strings — the same move as lodcc's hashed int
+    * edgelist, SURVEY §2.1 S11) and decoded after: the
+    * hash only has to be INJECTIVE on this graph's vertex set, which is
+    * verified against the vertex universe (one count_distinct over |V|);
+    * on the astronomically rare collision the kernel falls back to
+    * iterating the original ids. Component NAMING is restored exactly —
+    * component = min ORIGINAL vertex id over the members — by a |V|-sized
+    * regroup, so callers (canonicalization's "min surface" contract, the
+    * DuckDB oracles) see byte-identical output either way.
+    */
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     // vertex universe, pinned EAGERLY while the input chain is being paid
-    // anyway: the final left-join below must see every input vertex (incl.
-    // self-loop-only ones pairs dropped), and deriving it lazily from
+    // anyway: the final fill must see every input vertex (incl.
+    // self-loop-only ones the pairs drop), and deriving it lazily from
     // `edges` re-evaluated the caller's entire upstream plan once per
     // consumption of the result — for a caller whose edge table is an
     // expensive similarity chain (incremental canonicalization) that
     // tripled the query
-    val allVs = edges.select(col("src").as("vertex"))
+    val allVs = timed("allVs")(edges.select(col("src").as("vertex"))
       .union(edges.select(col("dst").as("vertex"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true))
+
+    if (numericVertices(edges)) return fill(allVs, fixpoint(edges, maxIter))
+
+    val vmap = allVs.select(col("vertex"), xxhash64(col("vertex")).as("vh"))
+    val chk = timed("collisionChk")(vmap.agg(count(lit(1)).as("n"),
+      count_distinct(col("vh")).as("nh")).head())
+    if (chk.getLong(0) != chk.getLong(1))
+      return fill(allVs, fixpoint(edges, maxIter)) // hash collision: iterate originals
+
+    val enc = edges.select(
+      xxhash64(col("src")).as("src"), xxhash64(col("dst")).as("dst"))
+    val ccL = fixpoint(enc, maxIter) // (vertex: long, component: long)
+    // decode (|V|-sized): original vertex -> long component group, then
+    // restore canonical naming as the min original member id
+    val withComp = vmap
+      .join(ccL.withColumnRenamed("vertex", "vh"), Seq("vh"), "left_outer")
+      .select(col("vertex"), col("component"))
+    val naming = withComp.where(col("component").isNotNull)
+      .groupBy("component").agg(min("vertex").as("cname"))
+    withComp.join(naming, Seq("component"), "left_outer")
+      .select(col("vertex"),
+        coalesce(col("cname"), col("vertex")).as("component"))
+  }
+
+  /** Every universe vertex gets its assignment; edge-free ones are their
+    * own component.
+    */
+  private def fill(allVs: DataFrame, asSelf: DataFrame): DataFrame =
+    allVs.join(asSelf, Seq("vertex"), "left_outer")
+      .select(col("vertex"), coalesce(col("component"), col("vertex")).as("component"))
+
+  /** Large-star/small-star fixpoint over vertices that appear in at least
+    * one non-self-loop edge; returns (vertex, component = min reachable id
+    * under the INPUT type's ordering).
+    */
+  // diagnostics only: per-phase walls on stderr when SPARK_GRAFT_CC_TIMING
+  // is set (used by tools.CcLegProbe to attribute leg scaling)
+  private def timed[T](what: String)(f: => T): T =
+    if (!sys.env.contains("SPARK_GRAFT_CC_TIMING")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[cc] $what%-12s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+
+  private def fixpoint(edges: DataFrame, maxIter: Int): DataFrame = {
+    var pairs = symmetrized(edges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (sys.env.contains("SPARK_GRAFT_CC_TIMING")) timed("symmetrize")(pairs.count())
 
     var converged = false
     var iter = 0
@@ -77,18 +149,18 @@ object ConnectedComponents {
       // round's shuffle tree 2-4x inside the one job (measured: round 1 on
       // the 71M-edge bench table 56 s lazy vs 22 s eager at 8 cores). The
       // extra signature job scans cached blocks and costs ~0.1 s.
-      val next = ss.select(explode_outer(array(
+      val next = timed(s"star$iter")(ss.select(explode_outer(array(
           struct(col("a").as("u"), col("b").as("v")),
           struct(col("b").as("u"), col("a").as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(true))
 
       // overflow-free set signature: count + bitwise XOR of row hashes
       // (rows are distinct, so XOR is a faithful multiset-free signature)
-      val sigRow = next.agg(
+      val sigRow = timed(s"round$iter")(next.agg(
         count(lit(1)).as("c"),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head())
       val sig = (sigRow.getLong(0), sigRow.getLong(1))
       converged = sig == prevSig
       prevSig = sig
@@ -98,13 +170,9 @@ object ConnectedComponents {
     }
     // pairs now (member, root) star: component = min neighbor (or self for roots)
     val comp = pairs.groupBy(col("u").as("vertex")).agg(min(col("v")).as("component"))
-    val asSelf = comp.select(
+    comp.select(
       col("vertex"),
       least(col("vertex"), col("component")).as("component"))
-    // isolated-in-pairs roots map to themselves; vertices absent entirely
-    // (isolated in the input, only possible via self-loops) map to self too
-    allVs.join(asSelf, Seq("vertex"), "left_outer")
-      .select(col("vertex"), coalesce(col("component"), col("vertex")).as("component"))
   }
 
   /** (component, size) ordered by size desc. */

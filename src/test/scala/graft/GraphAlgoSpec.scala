@@ -34,6 +34,22 @@ class GraphAlgoSpec extends AnyFunSuite {
     assert(m("x") == "x" && m("y") == "x")
   }
 
+  test("G3 CC hash-encode path: self-loop-only vertex, and long ids bypass encoding") {
+    // string ids go through the xxhash64 encode fast path; a self-loop-only
+    // vertex never reaches the fixpoint and must still fill as its own
+    // component after decode
+    val e = Seq(("b", "c"), ("loop", "loop")).toDF("src", "dst")
+    val m = ConnectedComponents.run(e).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("b" -> "b", "c" -> "b", "loop" -> "loop"))
+
+    // numeric ids iterate directly (no encode/decode joins) — same contract
+    val el = Seq((5L, 2L), (2L, 9L), (7L, 7L)).toDF("src", "dst")
+    val ml = ConnectedComponents.run(el).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ml == Map(5L -> 2L, 2L -> 2L, 9L -> 2L, 7L -> 7L))
+  }
+
   test("k-core: cascading peel reaches the dense backbone, empty past max core") {
     // K4 on a..d (degree 3 inside), plus a pendant chain d-e-f whose removal
     // must CASCADE (f falls first, then e) — exercises multi-round peeling
