@@ -45,19 +45,30 @@ object ConnectedComponents {
     }
   }
 
-  /** Component assignment over arbitrary vertex ids. Non-numeric ids are
-    * hash-encoded to longs for the fixpoint (the iterated shuffles carry
-    * 8-byte keys instead of strings — the same move as lodcc's hashed int
-    * edgelist, SURVEY §2.1 S11) and decoded after: the
-    * hash only has to be INJECTIVE on this graph's vertex set, which is
-    * verified against the vertex universe (one count_distinct over |V|);
-    * on the astronomically rare collision the kernel falls back to
-    * iterating the original ids. Component NAMING is restored exactly —
-    * component = min ORIGINAL vertex id over the members — by a |V|-sized
-    * regroup, so callers (canonicalization's "min surface" contract, the
-    * DuckDB oracles) see byte-identical output either way.
+  /** Component assignment over arbitrary vertex ids. Non-numeric ids on
+    * LARGE graphs (|V| >= `encodeMinVertices`) are hash-encoded to longs
+    * for the fixpoint (the iterated shuffles carry 8-byte keys instead of
+    * strings — the same move as lodcc's hashed int edgelist, SURVEY §2.1
+    * S11) and decoded after: the hash only has to be INJECTIVE on this
+    * graph's vertex set, which is verified against the vertex universe
+    * (one count_distinct over |V|); on the astronomically rare collision
+    * the kernel falls back to iterating the original ids. Component NAMING
+    * is restored exactly — component = min ORIGINAL vertex id over the
+    * members — by a |V|-sized regroup, so callers (canonicalization's
+    * "min surface" contract, the DuckDB oracles) see byte-identical output
+    * either way.
+    *
+    * The |V| threshold exists because the decode costs three small
+    * shuffles (vh join, naming regroup, naming join): on a 71M-edge /
+    * 1M-vertex graph the encode wins 43 -> 22 s at 8 cores, but on the
+    * latency-bound small graphs the suite's canonicalization chains feed
+    * (|V| ~ 10^4) those three extra jobs ADDED ~2-3.5 s per query
+    * (measured, protocol runs 16 vs 17) while saving nothing — byte
+    * savings only pay when the per-round shuffle volume dominates the
+    * per-round job latency.
     */
-  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 50,
+          encodeMinVertices: Long = 500000L): DataFrame = {
     // vertex universe, pinned EAGERLY while the input chain is being paid
     // anyway: the final fill must see every input vertex (incl.
     // self-loop-only ones the pairs drop), and deriving it lazily from
@@ -70,11 +81,14 @@ object ConnectedComponents {
       .localCheckpoint(true))
 
     if (numericVertices(edges)) return fill(allVs, fixpoint(edges, maxIter))
+    // the count scans the checkpoint blocks, not the caller's plan
+    val nV = timed("countV")(allVs.count())
+    if (nV < encodeMinVertices) return fill(allVs, fixpoint(edges, maxIter))
 
     val vmap = allVs.select(col("vertex"), xxhash64(col("vertex")).as("vh"))
-    val chk = timed("collisionChk")(vmap.agg(count(lit(1)).as("n"),
-      count_distinct(col("vh")).as("nh")).head())
-    if (chk.getLong(0) != chk.getLong(1))
+    val nh = timed("collisionChk")(
+      vmap.agg(count_distinct(col("vh")).as("nh")).head().getLong(0))
+    if (nh != nV)
       return fill(allVs, fixpoint(edges, maxIter)) // hash collision: iterate originals
 
     val enc = edges.select(

@@ -294,4 +294,41 @@ object EventOps {
         substring_index(max(touchKey).over(w), ":", -1))
       .where(col(typeCol) === conversionType)
   }
+
+  /** Rolling z-score anomaly detection: flag rows whose integer `valueCol`
+    * deviates more than `zThresh` trailing standard deviations from the
+    * same key's previous `lookback` values. Appends `roll_n`, `roll_sum`,
+    * `roll_sumsq` (trailing frame, EXCLUDING the current row) and
+    * `is_anomaly`.
+    *
+    * The z-test is evaluated in exact integer arithmetic — `(n·v − s)² >
+    * z²·(n·q − s²)` is `(v − μ)² > z²σ²` cleared of denominators — so the
+    * flag is bit-stable across engines (no float in the decision), which is
+    * why `valueCol` must be integral and `zThresh` is an Int. Rows with
+    * fewer than `minPoints` trailing values are never flagged (cold start).
+    * ANSI overflow throws; safe while `lookback·max|v|²` fits a long.
+    *
+    * One shuffle on the key, one ordered scan per key (ROWS frame over
+    * (ts, tieCol) so exact-ts ties are deterministically ordered); the
+    * same no-salting scale contract as [[rollingWindow]].
+    */
+  def rollingZAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+                        tieCol: String, valueCol: String,
+                        lookback: Int = 20, minPoints: Int = 10,
+                        zThresh: Int = 3): DataFrame = {
+    require(lookback > 0 && minPoints > 1 && zThresh > 0,
+      "lookback/minPoints/zThresh out of range")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(epochMicros(col(tsCol)), col(tieCol))
+      .rowsBetween(-lookback, -1)
+    val v = col(valueCol).cast("long")
+    val withRoll = df.select(col("*"),
+      count(lit(1)).over(w).cast("bigint").as("roll_n"),
+      coalesce(sum(v).over(w), lit(0L)).as("roll_sum"),
+      coalesce(sum(v * v).over(w), lit(0L)).as("roll_sumsq"))
+    val n = col("roll_n"); val s = col("roll_sum"); val q = col("roll_sumsq")
+    val dev = n * v - s
+    withRoll.withColumn("is_anomaly",
+      n >= minPoints && dev * dev > lit(zThresh.toLong * zThresh) * (n * q - s * s))
+  }
 }

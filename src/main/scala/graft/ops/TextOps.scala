@@ -479,4 +479,33 @@ object TextOps {
     concat(scheme, lit("://"), host, path,
       when(params =!= "", concat(lit("?"), params)).otherwise(lit("")))
   }
+
+  /** Per-document Shannon entropy (bits/char) over a restricted alphabet —
+    * the standard gibberish/binary-noise quality signal: natural text runs
+    * ~3–4.2 bits on [a-z0-9], uniform noise saturates near log2(36), and
+    * single-char spam collapses toward 0. Returns (id, n_chars,
+    * distinct_chars, entropy); documents with zero alphabet characters are
+    * dropped (entropy is undefined on an empty distribution).
+    *
+    * `entropy = log2(n) − Σ c·log2(c) / n` over per-char-class counts, so
+    * the only float work is one log per distinct class. Plan shape: one
+    * generate + two hash aggregations, all map-side-combinable; the
+    * alphabet bound caps the per-doc group fanout at |alphabet| regardless
+    * of document length. `explode_outer` (not `explode`) keeps Catalyst's
+    * InferFiltersFromGenerate from re-inlining the extraction below the
+    * exchange.
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String,
+                  alphabet: String = "[a-z0-9]"): DataFrame = {
+    val ch = docs.select(col(idCol).as("id"),
+        explode_outer(regexp_extract_all(lower(col(textCol)),
+          lit(alphabet), lit(0))).as("ch"))
+      .where(col("ch").isNotNull)
+    ch.groupBy("id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        sum("c").cast("bigint").as("n_chars"),
+        count(lit(1)).cast("bigint").as("distinct_chars"),
+        (log2(sum("c")) - sum(col("c") * log2(col("c"))) / sum("c"))
+          .as("entropy"))
+  }
 }

@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algo.{Betweenness, Bfs, TransitiveClosure}
-import graft.ops.{EventOps, TextOps}
+import graft.algo.{Betweenness, Bfs, Scc, TransitiveClosure}
+import graft.ops.{EventOps, Similarity, TextOps}
 import QueryUtil._
 
 /** Round-5 driver-checked queries: sampled closeness + betweenness
@@ -18,6 +18,8 @@ object AnalyticsQueries {
     s.read.parquet(s"$dir/documents.parquet")
   private def events(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/events.parquet")
+  private def embs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   /** Deterministic synthetic URL per document — messy on purpose (mixed
     * case, default + non-default ports, tracking params, unsorted params,
@@ -149,7 +151,77 @@ object AnalyticsQueries {
         .agg(count(lit(1)).cast("bigint").as("n_conversions"),
           round(sum("value"), 6).as("value_sum"))
     }),
+
+    // strongly connected components over a 40-cycles-of-5 + hub digraph
+    // derived from part keys (small condensation depth: 2 peel rounds);
+    // members pinned exactly via the sorted member list per component
+    "kg_scc" -> ((s, dir) => {
+      val scc = Scc.run(sccGraph(s, dir))
+      scc.groupBy("scc")
+        .agg(count(lit(1)).cast("bigint").as("n_members"),
+          array_join(sort_array(collect_list(col("vertex"))), ",").as("members"))
+    }),
+
+    // rolling z-score anomaly flags over the event stream; the z-test is
+    // exact integer arithmetic so the flag is bit-stable cross-engine
+    "ev_anomaly" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("v", col("event_id") % 97)
+      val a = EventOps.rollingZAnomalies(ev, "user_id", "ts",
+        tieCol = "event_id", valueCol = "v",
+        lookback = 20, minPoints = 10, zThresh = 3)
+      a.agg(
+        count(lit(1)).cast("bigint").as("n_events"),
+        sum(when(col("roll_n") >= 10, 1L).otherwise(0L))
+          .cast("bigint").as("n_scored"),
+        sum(when(col("is_anomaly"), 1L).otherwise(0L))
+          .cast("bigint").as("n_anomalies"),
+        sum(when(col("is_anomaly"), col("event_id")).otherwise(0L))
+          .cast("bigint").as("anomaly_checksum"))
+    }),
+
+    // ANN quality evaluation: per-query recall@3 of multi-probe sign-LSH
+    // against the brute-force ground truth — the standard index-QC op; the
+    // truth side is small (k·|Q| rows) so the hit join broadcasts
+    "emb_recall_eval" -> ((s, dir) => {
+      val truth = Similarity.bruteForceTopK(embs(s, dir), "vec_id",
+        "embedding", col("vec_id") < 10, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.lshTopKMultiProbe(embs(s, dir), "vec_id",
+        "embedding", col("vec_id") < 10, planes = 8, k = 3, probeHamming = 1)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      truth.groupBy("query_id").agg(count(lit(1)).as("t"))
+        .join(hits, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          col("t").cast("bigint").as("n_truth"),
+          coalesce(col("h"), lit(0L)).cast("bigint").as("n_hits"),
+          round(coalesce(col("h"), lit(0L)) / col("t"), 6).as("recall"))
+    }),
+
+    // per-document char-entropy quality signal over [a-z0-9]
+    "doc_entropy" -> ((s, dir) =>
+      roundDoubles(TextOps.charEntropy(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id"))),
   )
+
+  /** Deterministic cyclic digraph for kg_scc: vertices c0..c199 in 40
+    * directed 5-cycles (i → next position in i's cycle), plus hub edges
+    * c0 → head of every other cycle so the condensation is depth-1 (the
+    * coloring peel resolves it in 2 outer rounds). Twin of the `e` CTE in
+    * the kg_scc oracle.
+    */
+  private def sccGraph(s: SparkSession, dir: String): DataFrame = {
+    val ks = s.read.parquet(s"$dir/part.parquet")
+      .select((col("p_partkey") % 200).as("i")).distinct()
+    def cn(c: org.apache.spark.sql.Column) =
+      concat(lit("c"), c.cast("string"))
+    val cyc = ks.select(cn(col("i")).as("src"),
+      cn(col("i") - (col("i") % 5) + ((col("i") % 5) + 1) % 5).as("dst"))
+    val hubs = ks.where(col("i") % 5 === 0 && col("i") > 0)
+      .select(lit("c0").as("src"), cn(col("i")).as("dst"))
+    cyc.union(hubs)
+  }
 
   /** DuckDB twin of [[synthUrl]]. */
   private val urlSynthSql: String =
@@ -392,5 +464,127 @@ object AnalyticsQueries {
         |       CAST(count(*) AS BIGINT) AS n_conversions,
         |       CAST(round(sum(value), 6) AS DOUBLE) AS value_sum
         |FROM long GROUP BY 1, 2""".stripMargin,
+
+    // SCC by definition: mutual reachability over the recursive closure of
+    // the 200-vertex synthetic digraph; scc = min mutually-reachable id
+    "kg_scc" ->
+      """WITH ks AS (SELECT DISTINCT p_partkey % 200 AS i FROM part),
+        |e AS (
+        |  SELECT 'c' || i AS src,
+        |         'c' || ((i - (i % 5)) + ((i % 5) + 1) % 5) AS dst
+        |  FROM ks
+        |  UNION ALL
+        |  SELECT 'c0', 'c' || i FROM ks WHERE i % 5 = 0 AND i > 0),
+        |v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+        |reach AS (
+        |  SELECT src, dst FROM (
+        |    WITH RECURSIVE r(src, dst) AS (
+        |      SELECT src, dst FROM e
+        |      UNION
+        |      SELECT r.src, e.dst FROM r JOIN e ON e.src = r.dst
+        |    ) SELECT src, dst FROM r) t),
+        |mutual AS (
+        |  SELECT a.src AS u, a.dst AS w
+        |  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+        |  UNION SELECT vertex, vertex FROM v),
+        |assign AS (SELECT w AS vertex, min(u) AS scc FROM mutual GROUP BY 1)
+        |SELECT scc, CAST(count(*) AS BIGINT) AS n_members,
+        |       string_agg(vertex, ',' ORDER BY vertex) AS members
+        |FROM assign GROUP BY 1""".stripMargin,
+
+    "ev_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsu, event_id % 97 AS v
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id, v,
+        |         count(*) OVER w AS n,
+        |         coalesce(sum(v) OVER w, 0) AS s,
+        |         coalesce(sum(v * v) OVER w, 0) AS q
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |f AS (
+        |  SELECT event_id, n,
+        |         (n >= 10 AND (n*v - s)*(n*v - s) > 9*(n*q - s*s)) AS is_anomaly
+        |  FROM r)
+        |SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+        |       CAST(sum(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_anomalies,
+        |       CAST(sum(CASE WHEN is_anomaly THEN event_id ELSE 0 END) AS BIGINT)
+        |         AS anomaly_checksum
+        |FROM f""".stripMargin,
+
+    // truth = brute-force top-3 (the emb_knn oracle restricted to the
+    // multiprobe query set); approx = the emb_lsh_multiprobe oracle;
+    // recall joins the two neighbor sets per query
+    "emb_recall_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qt AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |bscored AS (
+        |  SELECT query_id, vec_id,
+        |         CAST(round(list_dot_product(qv, v) /
+        |               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS DOUBLE) AS sim
+        |  FROM qt JOIN e ON vec_id <> query_id),
+        |branked AS (
+        |  SELECT query_id, vec_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        |  FROM bscored),
+        |truth AS (SELECT query_id, vec_id AS neighbor_id FROM branked WHERE rank <= 3),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |         list_dot_product(v, list_transform(generate_series(0, 63),
+        |           d -> CAST((p * 37 + d * 11) % 13 - 6 AS DOUBLE))) AS dp
+        |  FROM e, LATERAL unnest(generate_series(0, 7)) g(p)),
+        |buckets AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |corpus AS (SELECT e.vec_id AS id, e.v, b.bucket FROM e JOIN buckets b USING (vec_id)),
+        |lq AS (
+        |  SELECT e.vec_id AS query_id, e.v AS qv, b.bucket AS qbucket
+        |  FROM e JOIN buckets b USING (vec_id) WHERE e.vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, qv,
+        |         unnest(list_prepend(qbucket,
+        |           list_transform(generate_series(0, 7), p -> xor(qbucket, CAST(1 AS BIGINT) << p)))) AS probe
+        |  FROM lq),
+        |ascored AS (
+        |  SELECT p.query_id, c.id,
+        |         CAST(round(list_dot_product(p.qv, c.v) /
+        |               (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS DOUBLE) AS sim
+        |  FROM probes p JOIN corpus c ON c.bucket = p.probe AND c.id <> p.query_id),
+        |aranked AS (
+        |  SELECT query_id, id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id ASC) AS rank
+        |  FROM ascored),
+        |approx AS (SELECT query_id, id AS neighbor_id FROM aranked WHERE rank <= 3),
+        |hits AS (
+        |  SELECT t.query_id, count(*) AS h
+        |  FROM truth t JOIN approx a
+        |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        |  GROUP BY 1)
+        |SELECT t.query_id,
+        |       CAST(count(*) AS BIGINT) AS n_truth,
+        |       CAST(coalesce(max(h.h), 0) AS BIGINT) AS n_hits,
+        |       CAST(round(coalesce(max(h.h), 0) / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS recall
+        |FROM truth t LEFT JOIN hits h ON h.query_id = t.query_id
+        |GROUP BY t.query_id""".stripMargin,
+
+    "doc_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, u.ch
+        |  FROM documents,
+        |       unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS u(ch)),
+        |cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT doc_id, sum(c) AS n, count(*) AS dc,
+        |         log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h
+        |  FROM cnt GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(n AS BIGINT) AS n_chars,
+        |       CAST(dc AS BIGINT) AS distinct_chars,
+        |       CAST(round(h, 6) AS DOUBLE) AS entropy
+        |FROM ent""".stripMargin,
   )
 }

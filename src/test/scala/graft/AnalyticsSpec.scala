@@ -144,4 +144,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(m(3L) == ((None, None)))       // same-ts touch is not "before"
     assert(m(4L) == ((Some("view"), Some("click")))) // ties pinned by id
   }
+
+  test("charEntropy: hand-computed bits, alphabet filter, empty-doc drop") {
+    val d = Seq(
+      (1L, "aabb"),      // 2 classes, uniform -> exactly 1 bit
+      (2L, "aaaa"),      // single class -> 0 bits
+      (3L, "a b!C d"),   // case-folded + filtered to {a,b,c,d} -> 2 bits
+      (4L, "!!! ???")    // nothing in [a-z0-9] -> dropped
+    ).toDF("doc_id", "text")
+    val e = TextOps.charEntropy(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(e.keySet == Set(1L, 2L, 3L))
+    assert(e(1L) == ((4L, 2L, 1.0)))
+    assert(e(2L) == ((4L, 1L, 0.0)))
+    assert(e(3L)._1 == 4L && e(3L)._2 == 4L && math.abs(e(3L)._3 - 2.0) < 1e-12)
+  }
 }

@@ -195,4 +195,34 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got(1.0) == (2L, 3.0) && got(2.0) == (2L, 3.0))
     assert(got(4.0) == (3L, 7.0))
   }
+
+  test("rollingZAnomalies: spike flagged, cold start never flagged, frame excludes current") {
+    // user 1: ten 5s establish mean 5 / var 0, then a 6 — any nonzero
+    // deviation on zero variance must flag; user 2: only 3 points (< minN),
+    // an extreme value must NOT flag
+    val rows = (1 to 10).map(i => (1L, ts(i * 10), i.toLong, 5L)) ++
+      Seq((1L, ts(110), 11L, 6L)) ++
+      (1 to 3).map(i => (2L, ts(i * 10), 100L + i, if (i == 3) 999L else 5L))
+    val df = rows.toDF("user_id", "ts", "event_id", "v")
+    val a = EventOps.rollingZAnomalies(df, "user_id", "ts", "event_id", "v",
+      lookback = 20, minPoints = 10, zThresh = 3)
+    val flagged = a.where(col("is_anomaly")).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    assert(flagged == Set(11L))
+    // the frame excludes the current row: row 11's stats cover the ten 5s
+    val r11 = a.where(col("event_id") === 11L).head()
+    assert(r11.getAs[Long]("roll_n") == 10L &&
+      r11.getAs[Long]("roll_sum") == 50L &&
+      r11.getAs[Long]("roll_sumsq") == 250L)
+    // a genuine 3-sigma test on nonzero variance: alternating 4/6 history
+    // (var 1), then 10 -> |10-5| = 5 > 3*1 flags; 7 -> 2 < 3 does not
+    val rows2 = (1 to 10).map(i =>
+      (3L, ts(i * 10), 200L + i, if (i % 2 == 0) 6L else 4L)) ++
+      Seq((3L, ts(110), 211L, 10L), (3L, ts(120), 212L, 7L))
+    val a2 = EventOps.rollingZAnomalies(rows2.toDF("user_id", "ts", "event_id", "v"),
+      "user_id", "ts", "event_id", "v", lookback = 20, minPoints = 10, zThresh = 3)
+    val f2 = a2.where(col("is_anomaly")).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    assert(f2 == Set(211L))
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.algo.{Bfs, ConnectedComponents, Eigenvector, KCore, LabelPropagation, PageRank, Triangles}
+import graft.algo.{Bfs, ConnectedComponents, Eigenvector, KCore, LabelPropagation, PageRank, Scc, Triangles}
 
 class GraphAlgoSpec extends AnyFunSuite {
   import SparkTestSession.spark
@@ -35,11 +35,11 @@ class GraphAlgoSpec extends AnyFunSuite {
   }
 
   test("G3 CC hash-encode path: self-loop-only vertex, and long ids bypass encoding") {
-    // string ids go through the xxhash64 encode fast path; a self-loop-only
-    // vertex never reaches the fixpoint and must still fill as its own
-    // component after decode
+    // encodeMinVertices = 0 forces string ids through the xxhash64 encode
+    // path; a self-loop-only vertex never reaches the fixpoint and must
+    // still fill as its own component after decode
     val e = Seq(("b", "c"), ("loop", "loop")).toDF("src", "dst")
-    val m = ConnectedComponents.run(e).collect()
+    val m = ConnectedComponents.run(e, encodeMinVertices = 0L).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(m == Map("b" -> "b", "c" -> "b", "loop" -> "loop"))
 
@@ -48,6 +48,34 @@ class GraphAlgoSpec extends AnyFunSuite {
     val ml = ConnectedComponents.run(el).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ml == Map(5L -> 2L, 2L -> 2L, 9L -> 2L, 7L -> 7L))
+  }
+
+  test("SCC: cycles, pendant DAG tails (trim), self-loops, chained condensation") {
+    // two 3-cycles bridged one-way (condensation depth 2 — exercises the
+    // outer peel loop), a pendant tail trimmed as singletons, a self-loop
+    val e = Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"),       // SCC {a,b,c}
+      ("c", "p"), ("p", "q"), ("q", "r"),       // bridge into SCC {p,q,r}
+      ("r", "p"),
+      ("r", "t1"), ("t1", "t2"),                // pendant tail: singletons
+      ("z", "z")                                 // self-loop-only: singleton
+    ).toDF("src", "dst")
+    val m = Scc.run(e).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map(
+      "a" -> "a", "b" -> "a", "c" -> "a",
+      "p" -> "p", "q" -> "p", "r" -> "p",
+      "t1" -> "t1", "t2" -> "t2", "z" -> "z"))
+  }
+
+  test("SCC: pure DAG is all singletons; directionality separates what CC merges") {
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+    val m = Scc.run(e).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("a" -> "a", "b" -> "b", "c" -> "c"))
+    // same edges undirected collapse to one weak component
+    assert(ConnectedComponents.componentSizes(ConnectedComponents.run(e))
+      .collect().map(_.getLong(1)).toSeq == Seq(3))
   }
 
   test("k-core: cascading peel reaches the dense backbone, empty past max core") {
