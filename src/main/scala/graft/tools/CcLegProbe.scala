@@ -22,7 +22,8 @@ object CcLegProbe {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-cc-probe-$cores")
-      .config("spark.sql.shuffle.partitions", (4 * cores).toString)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", (4 * cores).toString))
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.adaptive.enabled", "true")
