@@ -57,22 +57,64 @@ object Bench {
     s
   }
 
-  /** Map-heavy timed job: read turns parquet -> extract triples -> hashed
-    * edge table -> count (forces the full distributed computation).
+  /** Spawn one scaling leg as its own CPU-PINNED JVM (graft.tools.LegRunner)
+    * and return its timed runs (seconds).
+    *
+    * WHY A SUBPROCESS (proto 8): the in-process instrument ran every leg in
+    * ONE shared JVM whose GC threads, netty/shuffle pools, and JIT compiler
+    * threads were sized by the HOST's 32 hw threads regardless of local[N] —
+    * so the 2-core leg silently offloaded GC + pool wall onto the other 30
+    * host cores, capacity a real 2-executor cluster does not have (its
+    * per-executor JVM pools scale with executor count). The pin makes the
+    * leg a faithful "cluster with `cores` total cores" for every
+    * EXECUTOR-side resource; what it deliberately over-charges is the
+    * DRIVER (scheduling, Catalyst, barrier bookkeeping), which on a real
+    * cluster is a separate machine — so pinned efficiencies are LOWER
+    * bounds (measured on the 71M-edge CC leg: pinned warm p2 89.6 s /
+    * p8 36.0 s, GC 2–4 s at both legs — the pin removed the GC leak but
+    * exposed driver + memory-bandwidth terms; see BASELINE.md round-5
+    * protocol for the full accounting). Each leg gets: `taskset -c` to
+    * exactly `cores` cpus (top of the host range, dodging cpu0
+    * housekeeping), heap = 4 GB/core (capped 64), ParallelGC sized by the
+    * pinned cpu budget, ActiveProcessorCount = cores, and a FRESH heap (no
+    * cross-leg GC aging). Extraction and CC legs both run this way.
     */
-  private def extractionJob(spark: SparkSession, turnsPath: String, cores: Int): Long = {
-    val turns = spark.read.parquet(turnsPath)
-    val (_, edges) = Pipeline.build(turns, partitions = 4 * cores)
-    edges.count()
-  }
-
-  /** Shuffle-heavy timed job: large-star/small-star connected components
-    * to fixpoint over the pre-materialized edge table — every iteration is
-    * a pair of wide shuffles, no map-side escape hatch.
-    */
-  private def ccJob(spark: SparkSession, edgesPath: String): Long = {
-    val edges = spark.read.parquet(edgesPath)
-    graft.algo.ConnectedComponents.run(edges).count()
+  private def runLeg(job: String, cores: Int, warm: Int, runs: Int,
+                     inputPath: String): List[Double] = {
+    val nproc = Runtime.getRuntime.availableProcessors
+    val cpus = s"${nproc - cores}-${nproc - 1}"
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val heapG = math.min(4 * cores, 64)
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val pin =
+      if (new java.io.File("/usr/bin/taskset").exists())
+        Seq("/usr/bin/taskset", "-c", cpus)
+      else Nil // ActiveProcessorCount still bounds JVM-sized pools
+    val cmd = pin ++ Seq(javaBin) ++ addOpens ++ Seq(
+      s"-Xmx${heapG}g", "-XX:+UseParallelGC",
+      s"-XX:ActiveProcessorCount=$cores",
+      "-Dspark.ui.enabled=false",
+      "-cp", cp, "graft.tools.LegRunner",
+      job, cores.toString, warm.toString, runs.toString, inputPath)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream)
+      .getLines().toList
+    val rc = proc.waitFor()
+    if (rc != 0) System.err.println(s"[bench] leg $job p$cores exited rc=$rc")
+    val secsRx = """"secs":([0-9.]+)""".r
+    out.flatMap(l => secsRx.findFirstMatchIn(l).map(_.group(1).toDouble))
   }
 
   /** Pure-JVM per-core compression probe: `threads` workers each run the
@@ -113,7 +155,16 @@ object Bench {
   // (ConnectedComponents.run) — the shuffle leg moves 8-byte keys instead
   // of UTF8 strings, a materially different workload; proto-6 history is
   // orphaned.
-  private val ProtocolVersion = 7
+  // proto 8: per-leg CPU-pinned subprocess JVMs (see runLeg) — the
+  // measurement instrument changed materially (shared-JVM host-wide
+  // GC/pool capacity no longer leaks into the small leg), so proto-7
+  // history is orphaned even though the timed jobs are unchanged.
+  // proto 9: CC kernel keeps pairs hash-partitioned by u across rounds
+  // (dedupByU: the dedup exchange doubles as the next round's working
+  // partitioning, so groupBy("u") + join(_, "u") run exchange-free) —
+  // per-round full-data shuffles drop ~4 -> 2; the shuffle-leg workload
+  // changed, so proto-8 history is orphaned.
+  private val ProtocolVersion = 9
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -152,42 +203,29 @@ object Bench {
       s.stop()
     }
 
-    // ---- scaling evidence: same jobs, same inputs, per-leg sessions -----
+    // ---- scaling evidence: same jobs, same inputs, per-leg PINNED JVMs --
     val extRuns = scala.collection.mutable.Map[Int, List[Double]]()
       .withDefaultValue(Nil)
     val ccRuns = scala.collection.mutable.Map[Int, List[Double]]()
       .withDefaultValue(Nil)
-    def measure(cores: Int, warm: Int, runs: Int,
-                sink: scala.collection.mutable.Map[Int, List[Double]],
-                job: (SparkSession, Int) => Long): Unit = {
-      val spark = newSession(cores)
-      (1 to warm).foreach(_ => job(spark, cores)) // discarded
-      (1 to runs).foreach { _ =>
-        val t0 = System.nanoTime()
-        job(spark, cores)
-        sink(cores) = ((System.nanoTime() - t0) / 1e9) :: sink(cores)
-      }
-      spark.stop()
-    }
-    def ext(c: Int, w: Int, r: Int) =
-      measure(c, w, r, extRuns, (s, cores) => extractionJob(s, turnsPath, cores))
-    def cc(c: Int, w: Int, r: Int) =
-      measure(c, w, r, ccRuns, (s, _) => ccJob(s, edgesPath))
+    def ext(c: Int, w: Int, r: Int): Unit =
+      extRuns(c) = extRuns(c) ::: runLeg("ext", c, w, r, turnsPath)
+    def cc(c: Int, w: Int, r: Int): Unit =
+      ccRuns(c) = ccRuns(c) ::: runLeg("cc", c, w, r, edgesPath)
     def tmin(m: scala.collection.mutable.Map[Int, List[Double]], c: Int): Double =
       m(c).min
     def eff(m: scala.collection.mutable.Map[Int, List[Double]], lo: Int, hi: Int): Double =
       (tmin(m, lo) / tmin(m, hi)) / 4.0
 
-    // PRE-REGISTERED schedule: spaced sessions per leg, extraction and CC
-    // interleaved so co-tenant noise decorrelates across legs; run counts
-    // fixed up front (ext p2: 3, p8: 5, p32: 5; cc p2: 2, p8: 3) and never
-    // extended or cut short.
-    ext(8, 1, 2); ext(32, 1, 2); ext(2, 1, 1)
-    cc(8, 1, 1); cc(2, 1, 1)
-    ext(8, 0, 2); ext(32, 0, 2); ext(2, 0, 1)
-    cc(8, 0, 1); cc(2, 0, 1)
-    ext(32, 0, 1); ext(8, 0, 1); ext(2, 0, 1)
-    cc(8, 0, 1)
+    // PRE-REGISTERED schedule: one fresh pinned JVM per (leg, spawn), each
+    // paying its own JIT warm run (discarded); extraction and CC spawns
+    // interleaved so co-tenant noise decorrelates across legs; spawn/run
+    // counts fixed up front (ext p2/p8/p32: 2 spawns x 2 runs; cc p8: 2
+    // spawns x 2 runs, cc p2: 1 spawn x 2 runs) and never extended or cut
+    // short.
+    ext(8, 1, 2); ext(32, 1, 2); cc(8, 1, 2); ext(2, 1, 2)
+    cc(2, 1, 2)
+    ext(8, 1, 2); ext(32, 1, 2); cc(8, 1, 2); ext(2, 1, 2)
 
     val (t2, t8, t32) = (tmin(extRuns, 2), tmin(extRuns, 8), tmin(extRuns, 32))
     val (c2, c8) = (tmin(ccRuns, 2), tmin(ccRuns, 8))
@@ -226,7 +264,8 @@ object Bench {
     // append this session's raw runs for future sessions (before reporting,
     // so a crash after the gate computation still preserves the evidence)
     try {
-      def rl(vs: List[Double]) = vs.reverse.map(v => f"$v%.3f").mkString("[", ",", "]")
+      // runs are APPENDED in runLeg order, so the lists are already chronological
+      def rl(vs: List[Double]) = vs.map(v => f"$v%.3f").mkString("[", ",", "]")
       val entry = s"""{$fp,"ext_p2":${rl(extRuns(2))},"ext_p8":${rl(extRuns(8))}""" +
         s""","ext_p32":${rl(extRuns(32))},"cc_p2":${rl(ccRuns(2))},"cc_p8":${rl(ccRuns(8))}}"""
       val w = new java.io.FileWriter(historyPath, true)
@@ -322,14 +361,15 @@ object Bench {
     // shuffle-partition rule, visible per leg so the artifact is auditable)
     val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec"""" +
       s""","sf":"$sfDir",$headJson""" +
+      s""","leg_isolation":"taskset_pinned_fresh_jvm_gc_and_pools_scaled,heap_4gb_per_core_cap64"""" +
       s""","shuffle_partitions_rule":"4x_cores"""" +
       s""","ext_partitions_p2":8,"ext_partitions_p8":32,"ext_partitions_p32":128""" +
       s""","cc_partitions_p2":8,"cc_partitions_p8":32""" +
-      s""","extract_runs_p2":${jlist(extRuns(2).reverse)}""" +
-      s""","extract_runs_p8":${jlist(extRuns(8).reverse)}""" +
-      s""","extract_runs_p32":${jlist(extRuns(32).reverse)}""" +
-      s""","cc_runs_p2":${jlist(ccRuns(2).reverse)}""" +
-      s""","cc_runs_p8":${jlist(ccRuns(8).reverse)}""" +
+      s""","extract_runs_p2":${jlist(extRuns(2))}""" +
+      s""","extract_runs_p8":${jlist(extRuns(8))}""" +
+      s""","extract_runs_p32":${jlist(extRuns(32))}""" +
+      s""","cc_runs_p2":${jlist(ccRuns(2))}""" +
+      s""","cc_runs_p8":${jlist(ccRuns(8))}""" +
       s""","queries_min2":${jmap(results)}""" +
       s""","queries_pass1":${jmap(p1.toSeq.sortBy(_._1))}""" +
       s""","queries_pass2":${jmap(p2.toSeq.sortBy(_._1))}}"""

@@ -19,17 +19,32 @@ import org.apache.spark.storage.StorageLevel
 object ConnectedComponents {
 
   /** Symmetrize in ONE scan: each (src, dst) row explodes to both
-    * directions, self-loops dropped. The union-of-two-selects shape read
-    * the input twice; a generator reads it once and feeds the same
-    * distinct.
+    * directions, self-loops dropped. The generator reads the input once;
+    * dedup happens via [[dedupByU]] so the result is left hash-partitioned
+    * by `u` — the partitioning every round's groupBy/join then reuses.
     */
   private def symmetrized(edges: DataFrame): DataFrame =
-    edges.where(col("src") =!= col("dst"))
+    dedupByU(edges.where(col("src") =!= col("dst"))
       .select(explode_outer(array(
         struct(col("src").as("u"), col("dst").as("v")),
         struct(col("dst").as("u"), col("src").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .distinct()
+      .select(col("e.u").as("u"), col("e.v").as("v")))
+
+  /** Deduplicate (u, v) pairs via ONE exchange that doubles as the round's
+    * working partitioning: repartition by `u` alone (all copies of a pair
+    * land together because u is a prefix of the dedup key), then
+    * deduplicate WITHOUT a further exchange — HashPartitioning(u)
+    * satisfies the aggregate's ClusteredDistribution(u, v) since the
+    * partition expressions are a subset of the grouping keys. A plain
+    * `.distinct()` would instead exchange on (u, v), producing a result
+    * partitioned uselessly for the next round's groupBy("u") +
+    * join(..., "u"), which would then each pay their own exchange of the
+    * full pair set. Keeping `u`-partitioning across rounds drops the
+    * per-round exchange count from ~4 full-data shuffles to 2 (measured
+    * on the 71M-edge bench leg; see BASELINE.md round-5 protocol).
+    */
+  private def dedupByU(pairs: DataFrame): DataFrame =
+    pairs.repartition(col("u")).dropDuplicates("u", "v")
 
   /** Vertex ids that iterate cheaply as-is — anything else goes through the
     * order-free hash encode in [[run]] (8-byte longs shuffle 2-4x fewer
@@ -154,7 +169,6 @@ object ConnectedComponents {
           .select(col("v").as("a"), col("mn").as("b"))
           .union(mins.select(col("u").as("a"), col("mn").as("b")))
           .where(col("a") =!= col("b"))
-          .distinct()
       }
       // EAGER localCheckpoint — deliberately. A lazy checkpoint folded into
       // the signature job looks like it saves a job launch, but `ss` feeds
@@ -163,11 +177,16 @@ object ConnectedComponents {
       // round's shuffle tree 2-4x inside the one job (measured: round 1 on
       // the 71M-edge bench table 56 s lazy vs 22 s eager at 8 cores). The
       // extra signature job scans cached blocks and costs ~0.1 s.
-      val next = timed(s"star$iter")(ss.select(explode_outer(array(
+      // Dedup happens ONCE per round, after the symmetrizing explode, via
+      // dedupByU — the exchange that dedups is the same exchange that
+      // re-establishes the u-partitioning the next round's groupBy("u") and
+      // join(..., "u") consume exchange-free (ls's `mins` and the join read
+      // the checkpointed partitioning directly).
+      val next = timed(s"star$iter")(dedupByU(
+        ss.select(explode_outer(array(
           struct(col("a").as("u"), col("b").as("v")),
           struct(col("b").as("u"), col("a").as("v")))).as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v"))
-        .distinct()
+        .select(col("e.u").as("u"), col("e.v").as("v")))
         .localCheckpoint(true))
 
       // overflow-free set signature: count + bitwise XOR of row hashes

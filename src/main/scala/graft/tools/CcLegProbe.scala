@@ -99,14 +99,26 @@ object CcLegProbe {
       n
     }
 
+    // GC accounting (run-18 hypothesis): ParallelGC threads are sized by
+    // the HOST's hw threads regardless of local[N], so stop-the-world
+    // collection wall is ~constant per byte allocated at every leg — a
+    // serial term a real N-executor cluster (per-executor GC ∝ N) lacks.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
     (1 to runs).foreach { i =>
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       val n = shape match {
         case "run" => graft.algo.ConnectedComponents.run(edges).count()
         case "lazy" => instrumented(eager = false)
         case "eager" => instrumented(eager = true)
       }
-      println(f"""{"cores":$cores,"run":$i,"shape":"$shape","secs":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$n}""")
+      val wall = (System.nanoTime() - t0) / 1e9
+      val gcs = (gcMillis() - g0) / 1e3
+      println(f"""{"cores":$cores,"run":$i,"shape":"$shape","secs":$wall%.2f,"gc_secs":$gcs%.2f,"rows":$n}""")
     }
     s.stop()
   }
