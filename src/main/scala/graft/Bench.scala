@@ -50,6 +50,13 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.adaptive.enabled", "true")
+      // hub-vertex skew handling, same configs as the pinned legs
+      // (tools.LegRunner): AQE splits skewed join partitions at the sizes
+      // these inputs actually produce
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -164,7 +171,13 @@ object Bench {
   // partitioning, so groupBy("u") + join(_, "u") run exchange-free) —
   // per-round full-data shuffles drop ~4 -> 2; the shuffle-leg workload
   // changed, so proto-8 history is orphaned.
-  private val ProtocolVersion = 9
+  // proto 10: skew-aware CC kernel — dedup moves to the skew-free (u, v)
+  // key with map-side combine (the proto-9 repartition(u) funneled a 9.2x-
+  // duplicated 3.16M-row hot hub into one partition: a straggler that
+  // capped high-core legs only), and the u-keyed star joins are left to
+  // AQE skew-join splitting (thresholds sized to the leg, see newSession).
+  // Workload + configs changed, so proto-9 history is orphaned.
+  private val ProtocolVersion = 10
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

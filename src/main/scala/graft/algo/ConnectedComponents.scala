@@ -20,31 +20,41 @@ object ConnectedComponents {
 
   /** Symmetrize in ONE scan: each (src, dst) row explodes to both
     * directions, self-loops dropped. The generator reads the input once;
-    * dedup happens via [[dedupByU]] so the result is left hash-partitioned
-    * by `u` — the partitioning every round's groupBy/join then reuses.
+    * dedup happens via [[dedupPairs]] on the skew-free (u, v) key.
     */
   private def symmetrized(edges: DataFrame): DataFrame =
-    dedupByU(edges.where(col("src") =!= col("dst"))
+    dedupPairs(edges.where(col("src") =!= col("dst"))
       .select(explode_outer(array(
         struct(col("src").as("u"), col("dst").as("v")),
         struct(col("dst").as("u"), col("src").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v")))
 
-  /** Deduplicate (u, v) pairs via ONE exchange that doubles as the round's
-    * working partitioning: repartition by `u` alone (all copies of a pair
-    * land together because u is a prefix of the dedup key), then
-    * deduplicate WITHOUT a further exchange — HashPartitioning(u)
-    * satisfies the aggregate's ClusteredDistribution(u, v) since the
-    * partition expressions are a subset of the grouping keys. A plain
-    * `.distinct()` would instead exchange on (u, v), producing a result
-    * partitioned uselessly for the next round's groupBy("u") +
-    * join(..., "u"), which would then each pay their own exchange of the
-    * full pair set. Keeping `u`-partitioning across rounds drops the
-    * per-round exchange count from ~4 full-data shuffles to 2 (measured
-    * on the 71M-edge bench leg; see BASELINE.md round-5 protocol).
+  /** Deduplicate (u, v) pairs on the PAIR key, deliberately NOT on `u`
+    * alone. Two measured reasons (284M-edge bench leg, BASELINE.md round-5
+    * probe matrix):
+    *
+    *  - **Skew.** Real transcript graphs have hub vertices (hot
+    *    conversations / ubiquitous entities): the bench table's hottest
+    *    u-group is 3.16M of 61.7M symmetrized pairs (p50 degree = 8, max =
+    *    3.16M). A `repartition(col("u"))` (the proto-9 shape) funnels every
+    *    copy of a hot key — 9.2x duplicated pre-dedup, ~28M rows — into ONE
+    *    partition, a straggler that caps the whole stage at high core
+    *    counts while leaving low-core legs unaffected (uniform 2.2-3.0x
+    *    instead of 4x per-phase speedup, the shuffle-leg gate failure).
+    *    Hash-partitioning on (u, v) spreads a hot u across the cluster by
+    *    its v's; the u-keyed star joins that DO need co-location by u are
+    *    left to AQE's skew-join splitting (see the session configs in
+    *    Bench/LegRunner), the salted-hot-conversations contract of the
+    *    north rule expressed with the built-in optimizer rule instead of
+    *    hand salting.
+    *  - **Map-side combine.** `dropDuplicates` plans a partial
+    *    HashAggregate BEFORE its exchange; repeated mentions of the same
+    *    entity pair inside one conversation are co-located in the scan
+    *    partition and collapse before the wire, where `repartition`
+    *    ships every copy.
     */
-  private def dedupByU(pairs: DataFrame): DataFrame =
-    pairs.repartition(col("u")).dropDuplicates("u", "v")
+  private def dedupPairs(pairs: DataFrame): DataFrame =
+    pairs.dropDuplicates("u", "v")
 
   /** Vertex ids that iterate cheaply as-is — anything else goes through the
     * order-free hash encode in [[run]] (8-byte longs shuffle 2-4x fewer
@@ -91,8 +101,9 @@ object ConnectedComponents {
     // consumption of the result — for a caller whose edge table is an
     // expensive similarity chain (incremental canonicalization) that
     // tripled the query
-    val allVs = timed("allVs")(edges.select(col("src").as("vertex"))
-      .union(edges.select(col("dst").as("vertex"))).distinct()
+    val allVs = timed("allVs")(edges
+      .select(explode_outer(array(col("src"), col("dst"))).as("vertex"))
+      .distinct() // one scan, not union-of-two-selects (halves input decode)
       .localCheckpoint(true))
 
     if (numericVertices(edges)) return fill(allVs, fixpoint(edges, maxIter))
@@ -178,11 +189,9 @@ object ConnectedComponents {
       // the 71M-edge bench table 56 s lazy vs 22 s eager at 8 cores). The
       // extra signature job scans cached blocks and costs ~0.1 s.
       // Dedup happens ONCE per round, after the symmetrizing explode, via
-      // dedupByU — the exchange that dedups is the same exchange that
-      // re-establishes the u-partitioning the next round's groupBy("u") and
-      // join(..., "u") consume exchange-free (ls's `mins` and the join read
-      // the checkpointed partitioning directly).
-      val next = timed(s"star$iter")(dedupByU(
+      // dedupPairs — partial-aggregated map-side and hash-spread on the
+      // skew-free (u, v) key (see dedupPairs for the hot-hub measurement).
+      val next = timed(s"star$iter")(dedupPairs(
         ss.select(explode_outer(array(
           struct(col("a").as("u"), col("b").as("v")),
           struct(col("b").as("u"), col("a").as("v")))).as("e"))

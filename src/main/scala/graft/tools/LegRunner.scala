@@ -38,6 +38,14 @@ object LegRunner {
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.adaptive.enabled", "true")
+      // hub-vertex skew (hot conversations / ubiquitous entities): let AQE
+      // split skewed join partitions at sizes this leg actually sees — the
+      // bench graph's hottest u-group is ~3.2M of 61.7M pairs, far below
+      // the 256 MB default threshold (see ConnectedComponents.dedupPairs)
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
