@@ -2,7 +2,6 @@ package graft.algo
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Weakly-connected components via alternating large-star / small-star
   * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
@@ -18,43 +17,58 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
-  /** Symmetrize in ONE scan: each (src, dst) row explodes to both
-    * directions, self-loops dropped. The generator reads the input once;
-    * dedup happens via [[dedupPairs]] on the skew-free (u, v) key.
-    */
-  private def symmetrized(edges: DataFrame): DataFrame =
-    dedupPairs(edges.where(col("src") =!= col("dst"))
-      .select(explode_outer(array(
-        struct(col("src").as("u"), col("dst").as("v")),
-        struct(col("dst").as("u"), col("src").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v")))
-
-  /** Deduplicate (u, v) pairs on the PAIR key, deliberately NOT on `u`
-    * alone. Two measured reasons (284M-edge bench leg, BASELINE.md round-5
-    * probe matrix):
+  /** The undirected edge set in CANONICAL form — one row (a, b) with
+    * a > b per unordered pair, self-loops dropped, deduplicated on the
+    * pair key. Canonical-before-explode, deliberately:
     *
-    *  - **Skew.** Real transcript graphs have hub vertices (hot
-    *    conversations / ubiquitous entities): the bench table's hottest
-    *    u-group is 3.16M of 61.7M symmetrized pairs (p50 degree = 8, max =
-    *    3.16M). A `repartition(col("u"))` (the proto-9 shape) funnels every
-    *    copy of a hot key — 9.2x duplicated pre-dedup, ~28M rows — into ONE
-    *    partition, a straggler that caps the whole stage at high core
-    *    counts while leaving low-core legs unaffected (uniform 2.2-3.0x
-    *    instead of 4x per-phase speedup, the shuffle-leg gate failure).
-    *    Hash-partitioning on (u, v) spreads a hot u across the cluster by
-    *    its v's; the u-keyed star joins that DO need co-location by u are
-    *    left to AQE's skew-join splitting (see the session configs in
-    *    Bench/LegRunner), the salted-hot-conversations contract of the
-    *    north rule expressed with the built-in optimizer rule instead of
-    *    hand salting.
+    *  - **Half the shuffle.** Deduplicating the canonical pair moves HALF
+    *    the rows of deduplicating the symmetrized (u, v) set (the r4–r9
+    *    shapes), and both directions of an edge collapse into ONE dedup
+    *    key, so the partial aggregate folds up to 2x more duplicates
+    *    before the wire (the bench graph repeats each entity pair 9.2x
+    *    across turns). The symmetrized view is re-derived per consumer by
+    *    [[expand]] — a generator over the checkpointed canonical blocks,
+    *    costing zero exchanges.
+    *  - **Skew-free key.** Dedup keyed on the PAIR spreads a hot vertex
+    *    (hot conversations / ubiquitous entities: the bench graph's
+    *    hottest vertex touches 3.16M of 61.7M pairs, p50 degree 8) across
+    *    the cluster by its neighbors; a `repartition(u)` dedup (proto 9)
+    *    funneled every copy of the hot key — ~28M pre-dedup rows — into
+    *    one straggler partition that capped exactly the high-core legs.
     *  - **Map-side combine.** `dropDuplicates` plans a partial
     *    HashAggregate BEFORE its exchange; repeated mentions of the same
-    *    entity pair inside one conversation are co-located in the scan
-    *    partition and collapse before the wire, where `repartition`
-    *    ships every copy.
+    *    entity pair inside one conversation collapse in the scan
+    *    partition, where a `repartition` ships every copy.
     */
-  private def dedupPairs(pairs: DataFrame): DataFrame =
-    pairs.dropDuplicates("u", "v")
+  private def canonEdges(edges: DataFrame): DataFrame =
+    edges.where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("a"),
+        least(col("src"), col("dst")).as("b"))
+      .dropDuplicates("a", "b")
+
+  /** Symmetrized (u, v) view of a canonical (a, b) a>b pair set: each row
+    * explodes to both directions. Distinct by construction (the canonical
+    * set is distinct and a != b). `explode_outer`, not `explode`:
+    * Catalyst's InferFiltersFromGenerate re-inlines the caller's upstream
+    * expression tree below the next exchange for a plain `explode` (the r4
+    * doc_minhash_lsh pathology, measured +23 s on kg_canon_incremental).
+    */
+  private def expand(canon: DataFrame): DataFrame =
+    canon.select(explode_outer(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+
+  /** Broadcast the per-round mins table (one row per live vertex) when the
+    * vertex universe is known to be small enough: the two pair-set joins
+    * per star round then run as exchange-free broadcast-hash joins — no
+    * sort, no reshuffle of the pair set, and hot-hub join skew cannot
+    * exist. Above the threshold the joins fall back to shuffle joins with
+    * AQE skew-split (session configs in Bench/LegRunner): on a 10^12-turn
+    * graph whose entity universe outgrows executor memory the plan
+    * degrades gracefully instead of OOMing.
+    */
+  private val BroadcastMaxVertices = 8000000L
 
   /** Vertex ids that iterate cheaply as-is — anything else goes through the
     * order-free hash encode in [[run]] (8-byte longs shuffle 2-4x fewer
@@ -106,20 +120,21 @@ object ConnectedComponents {
       .distinct() // one scan, not union-of-two-selects (halves input decode)
       .localCheckpoint(true))
 
-    if (numericVertices(edges)) return fill(allVs, fixpoint(edges, maxIter))
-    // the count scans the checkpoint blocks, not the caller's plan
+    // the count scans the checkpoint blocks, not the caller's plan; |V|
+    // also sizes the per-round broadcast decision (BroadcastMaxVertices)
     val nV = timed("countV")(allVs.count())
-    if (nV < encodeMinVertices) return fill(allVs, fixpoint(edges, maxIter))
+    if (numericVertices(edges)) return fill(allVs, fixpoint(edges, maxIter, nV))
+    if (nV < encodeMinVertices) return fill(allVs, fixpoint(edges, maxIter, nV))
 
     val vmap = allVs.select(col("vertex"), xxhash64(col("vertex")).as("vh"))
     val nh = timed("collisionChk")(
       vmap.agg(count_distinct(col("vh")).as("nh")).head().getLong(0))
     if (nh != nV)
-      return fill(allVs, fixpoint(edges, maxIter)) // hash collision: iterate originals
+      return fill(allVs, fixpoint(edges, maxIter, nV)) // hash collision: iterate originals
 
     val enc = edges.select(
       xxhash64(col("src")).as("src"), xxhash64(col("dst")).as("dst"))
-    val ccL = fixpoint(enc, maxIter) // (vertex: long, component: long)
+    val ccL = fixpoint(enc, maxIter, nV) // (vertex: long, component: long)
     // decode (|V|-sized): original vertex -> long component group, then
     // restore canonical naming as the min original member id
     val withComp = vmap
@@ -154,64 +169,80 @@ object ConnectedComponents {
       r
     }
 
-  private def fixpoint(edges: DataFrame, maxIter: Int): DataFrame = {
-    var pairs = symmetrized(edges)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    if (sys.env.contains("SPARK_GRAFT_CC_TIMING")) timed("symmetrize")(pairs.count())
+  private def fixpoint(edges: DataFrame, maxIter: Int, nVertices: Long): DataFrame = {
+    // working state between rounds is the CANONICAL pair set (a > b),
+    // checkpointed at half the rows of the symmetrized view
+    var canon = timed("symmetrize")(canonEdges(edges).localCheckpoint(true))
+    // round-0 pair count: one cheap job over the checkpointed blocks;
+    // later rounds reuse the signature job's count
+    var canonCount = timed("countPairs")(canon.count())
+
+    // Broadcast the mins table only when the pair set DWARFS the vertex
+    // universe: building + shipping a |V|-row hash relation is serial-ish
+    // work at every parallelism (measured: it inflated the post-round-0
+    // star rounds, whose pair set has collapsed to ~|V|, by 2x at 2
+    // cores), so it pays only while it spares reshuffling a much larger
+    // pair set (round 0 on a duplicate-heavy graph).
+    def maybeBc(mins: DataFrame): DataFrame =
+      if (nVertices <= BroadcastMaxVertices && canonCount >= 3 * nVertices)
+        broadcast(mins)
+      else mins
 
     var converged = false
     var iter = 0
     var prevSig: (Long, Long) = (-1L, -1L)
     while (!converged && iter < maxIter) {
-      // large-star: connect every neighbor v > u to m = min(N(u) u {u})
+      val pairs = expand(canon)
+      // large-star: connect every neighbor v > u to m = min(N(u) u {u}).
+      // Output invariant: a = v > u >= mn = b, so ls is canonical (a > b).
       val ls = {
         val mins = pairs.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("mn"))
-        pairs.join(mins, "u")
+        pairs.join(maybeBc(mins), "u")
           .where(col("v") > col("u"))
           .select(col("v").as("a"), col("mn").as("b"))
           .where(col("a") =!= col("b"))
       }
-      // small-star: for each u, connect all neighbors v <= u (and u) to the min
+      // small-star on the canonical ls (each row already (bigger, smaller)):
+      // for each a, connect its smaller neighbors (and a itself) to the min.
+      // Both branches keep the a > b invariant (b >= mn and a > b >= mn).
       val ss = {
-        val smaller = ls.select(
-          greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-        val mins = smaller.groupBy("u").agg(min(col("v")).as("mn"))
-        smaller.join(mins, "u")
-          .select(col("v").as("a"), col("mn").as("b"))
-          .union(mins.select(col("u").as("a"), col("mn").as("b")))
+        val mins = ls.groupBy("a").agg(min(col("b")).as("mn"))
+        ls.join(maybeBc(mins), "a")
+          .select(col("b").as("a"), col("mn").as("b"))
+          .union(mins.select(col("a"), col("mn").as("b")))
           .where(col("a") =!= col("b"))
       }
       // EAGER localCheckpoint — deliberately. A lazy checkpoint folded into
-      // the signature job looks like it saves a job launch, but `ss` feeds
-      // `next` through a generator and `ls` feeds `ss` twice; with nothing
-      // materialized in between, the un-truncated branches recompute the
-      // round's shuffle tree 2-4x inside the one job (measured: round 1 on
-      // the 71M-edge bench table 56 s lazy vs 22 s eager at 8 cores). The
-      // extra signature job scans cached blocks and costs ~0.1 s.
-      // Dedup happens ONCE per round, after the symmetrizing explode, via
-      // dedupPairs — partial-aggregated map-side and hash-spread on the
-      // skew-free (u, v) key (see dedupPairs for the hot-hub measurement).
-      val next = timed(s"star$iter")(dedupPairs(
-        ss.select(explode_outer(array(
-          struct(col("a").as("u"), col("b").as("v")),
-          struct(col("b").as("u"), col("a").as("v")))).as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v")))
-        .localCheckpoint(true))
+      // the signature job looks like it saves a job launch, but `ls` feeds
+      // `ss` twice and `ss` feeds the dedup; with nothing materialized in
+      // between, the un-truncated branches recompute the round's shuffle
+      // tree 2-4x inside the one job (measured: round 1 on the 71M-edge
+      // bench table 56 s lazy vs 22 s eager at 8 cores). The extra
+      // signature job scans cached blocks and costs ~0.1 s.
+      // The round's ONE pair-set exchange is this dedup, on the skew-free
+      // canonical key with map-side partial aggregation (see canonEdges).
+      val next = timed(s"star$iter")(
+        ss.dropDuplicates("a", "b").localCheckpoint(true))
 
       // overflow-free set signature: count + bitwise XOR of row hashes
-      // (rows are distinct, so XOR is a faithful multiset-free signature)
+      // (rows are distinct, so XOR is a faithful multiset-free signature;
+      // the canonical set determines the symmetrized set, so this is the
+      // same convergence test as hashing both directions)
       val sigRow = timed(s"round$iter")(next.agg(
         count(lit(1)).as("c"),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head())
+        coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)).as("h")).head())
       val sig = (sigRow.getLong(0), sigRow.getLong(1))
       converged = sig == prevSig
       prevSig = sig
+      canonCount = sig._1
       iter += 1
-      pairs.unpersist(false)
-      pairs = next
+      canon.unpersist(false)
+      canon = next
     }
-    // pairs now (member, root) star: component = min neighbor (or self for roots)
-    val comp = pairs.groupBy(col("u").as("vertex")).agg(min(col("v")).as("component"))
+    // canon now the (member > root) star: component = min neighbor for
+    // members, self for roots — expand and take min over both directions
+    val comp = expand(canon)
+      .groupBy(col("u").as("vertex")).agg(min(col("v")).as("component"))
     comp.select(
       col("vertex"),
       least(col("vertex"), col("component")).as("component"))

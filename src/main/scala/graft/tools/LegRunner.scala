@@ -59,6 +59,15 @@ object LegRunner {
       case "cc" =>
         val edges = spark.read.parquet(inputPath)
         graft.algo.ConnectedComponents.run(edges).count()
+      case "mat" =>
+        // graph materialization: the one wide all-data shuffle between
+        // extraction and the edge tables — dedup + fuse parallel triple
+        // assertions (kg_triple_fusion / S5 hashed-edgelist semantics):
+        // groupBy the triple key with map-side partial counts
+        import org.apache.spark.sql.functions.{count, lit}
+        val triples = spark.read.parquet(inputPath)
+        triples.groupBy("src", "label", "dst")
+          .agg(count(lit(1)).as("n_assertions")).count()
       case other => sys.error(s"unknown leg job: $other")
     }
 
