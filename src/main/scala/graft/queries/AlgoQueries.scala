@@ -307,8 +307,11 @@ object AlgoQueries {
       Bfs.distances(smallEdges(s, dir), "c1").orderBy("vertex")),
 
     "kg_bgp" -> ((s, dir) => {
-      // BGP: ?a -p1-> ?b -p2-> ?c, ?a -p3-> ?c (triangle template, J1)
-      val e = liEdges(s, dir)
+      // BGP: ?a -p1-> ?b -p2-> ?c, ?a -p3-> ?c (triangle template, J1).
+      // Density-constant edges (QueryUtil.liEdgesScaled): a pattern match's
+      // embedding count is combinatorial in mean degree, so this consumer
+      // scales the vertex space with SF instead of densifying.
+      val e = liEdgesScaled(s, dir)
       val e1 = e.where(col("label") === "p1").select(col("src").as("a"), col("dst").as("b"))
       val e2 = e.where(col("label") === "p2").select(col("src").as("b2"), col("dst").as("c"))
       val e3 = e.where(col("label") === "p3").select(col("src").as("a3"), col("dst").as("c3"))
@@ -422,7 +425,7 @@ object AlgoQueries {
          |) t GROUP BY vertex ORDER BY vertex""".stripMargin,
 
     "kg_bgp" ->
-      s"""$edgesCte
+      s"""$edgesScaledCte
          |SELECT CAST(count(*) AS BIGINT) AS matches
          |FROM (SELECT src AS a, dst AS b FROM edges WHERE label = 'p1') e1
          |JOIN (SELECT src AS b, dst AS c FROM edges WHERE label = 'p2') e2 USING (b)

@@ -31,14 +31,18 @@ object MoreQueries {
     }),
 
     // labeled snowflake match: WatDiv f1 with its predicates mapped onto the
-    // p0..p6 vocabulary, on a 512-vertex slice (density SF-bounded so the
-    // 6-way join stays tractable at every test scale)
+    // p0..p6 vocabulary, on a 512k-vertex slice whose width scales with SF
+    // (QueryUtil.liScale) so DENSITY stays constant: a 6-way join's
+    // embeddings grow ~degree^6, and the pre-guard fixed-512 slice ground
+    // 47 minutes in one task at sf1 (10× rows = 10× mean degree)
     "kg_bgp_snowflake" -> ((s, dir) => {
+      val k = liScale(s, dir)
       val e = s.read.parquet(s"$dir/lineitem.parquet")
-        .where(col("l_orderkey") % 4096 < 512 && col("l_partkey") % 4096 < 512)
+        .where(col("l_orderkey") % (4096 * k) < 512 * k &&
+          col("l_partkey") % (4096 * k) < 512 * k)
         .select(
-          concat(lit("v"), (col("l_orderkey") % 512).cast("string")).as("src"),
-          concat(lit("v"), (col("l_partkey") % 512).cast("string")).as("dst"),
+          concat(lit("v"), (col("l_orderkey") % (512 * k)).cast("string")).as("src"),
+          concat(lit("v"), (col("l_partkey") % (512 * k)).cast("string")).as("dst"),
           concat(lit("p"), (col("l_suppkey") % 7).cast("string")).as("label"))
       val pmap = Map("og:tag" -> "p1", "rdf:type" -> "p0", "wsdbm:hasGenre" -> "p2",
         "sorg:trailer" -> "p3", "sorg:keywords" -> "p4")
@@ -288,12 +292,14 @@ object MoreQueries {
          |FROM d WHERE dist > 0 GROUP BY vertex""".stripMargin,
 
     "kg_bgp_snowflake" ->
-      """WITH edges AS (
-        |  SELECT 'v' || (l_orderkey % 512) AS src,
-        |         'v' || (l_partkey % 512) AS dst,
+      s"""WITH sc AS MATERIALIZED (SELECT $liScaleSql AS k FROM lineitem),
+        |edges AS MATERIALIZED (
+        |  SELECT 'v' || (l_orderkey % (512 * (SELECT k FROM sc))) AS src,
+        |         'v' || (l_partkey % (512 * (SELECT k FROM sc))) AS dst,
         |         'p' || (l_suppkey % 7) AS label
         |  FROM lineitem
-        |  WHERE l_orderkey % 4096 < 512 AND l_partkey % 4096 < 512),
+        |  WHERE l_orderkey % (4096 * (SELECT k FROM sc)) < 512 * (SELECT k FROM sc)
+        |    AND l_partkey % (4096 * (SELECT k FROM sc)) < 512 * (SELECT k FROM sc)),
         |m AS (
         |  SELECT v0, v1, v2, v3, v4, v5, v6 FROM
         |    (SELECT src AS v3, dst AS v0 FROM edges WHERE label = 'p2') e2

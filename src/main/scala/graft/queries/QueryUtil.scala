@@ -30,6 +30,49 @@ object QueryUtil {
       concat(lit("v"), (col("l_partkey") % 4096).cast("string")).as("dst"),
       concat(lit("p"), (col("l_suppkey") % 7).cast("string")).as("label"))
 
+  /** Fixture scale factor for the COMBINATORIAL consumers of the lineitem
+    * graph (BGP pattern matches): k = max(1, rows/600000), i.e. 1 at every
+    * driver scale up to sf0.1 and 10 at sf1. Widening the vertex space by
+    * k keeps mean degree — and with it the embedding count per hub —
+    * constant as SF grows, the way a real KG grows its vertex set with its
+    * edge set. A FIXED modulus densifies linearly with SF, and a w-way
+    * join's embeddings grow ~degree^w: measured at sf1 (10× rows), the
+    * 6-way snowflake match ground 47 minutes in a single task before this
+    * guard. Aggregate consumers (degree stats, gini, powerlaw…) keep the
+    * fixed 4096 space: their cost is linear in edges by construction.
+    * The count() is a parquet metadata read (no data scan).
+    */
+  def liScale(s: SparkSession, dir: String): Long =
+    math.max(1L, s.read.parquet(s"$dir/lineitem.parquet").count() / 600000L)
+
+  /** DuckDB scalar mirroring [[liScale]]. */
+  val liScaleSql: String =
+    "greatest(1, CAST(floor(count(*) / 600000.0) AS BIGINT))"
+
+  /** Density-constant variant of [[liEdges]]: vertex space v0..v(4096k-1). */
+  def liEdgesScaled(s: SparkSession, dir: String): DataFrame = {
+    val k = liScale(s, dir)
+    s.read.parquet(s"$dir/lineitem.parquet").select(
+      concat(lit("v"), (col("l_orderkey") % (4096 * k)).cast("string")).as("src"),
+      concat(lit("v"), (col("l_partkey") % (4096 * k)).cast("string")).as("dst"),
+      concat(lit("p"), (col("l_suppkey") % 7).cast("string")).as("label"))
+  }
+
+  /** DuckDB CTE mirroring [[liEdgesScaled]] (named `edges`, plus `sc(k)`).
+    * Both CTEs are MATERIALIZED: inlined, the scalar subquery inside each
+    * projected key expression defeats DuckDB's equi-join detection and the
+    * downstream pattern joins degrade to cross products (observed: a 78 GB
+    * temp spill at sf0.01 before ENOSPC); materialized, the joins see plain
+    * columns and hash-join.
+    */
+  val edgesScaledCte: String =
+    s"""WITH sc AS MATERIALIZED (SELECT $liScaleSql AS k FROM lineitem),
+       |edges AS MATERIALIZED (
+       |  SELECT 'v' || (l_orderkey % (4096 * (SELECT k FROM sc))) AS src,
+       |         'v' || (l_partkey % (4096 * (SELECT k FROM sc))) AS dst,
+       |         'p' || (l_suppkey % 7) AS label
+       |  FROM lineitem)""".stripMargin
+
   /** DuckDB CTE mirroring [[liEdges]] + the degree vector. */
   val edgesCte: String =
     """WITH edges AS (

@@ -28,10 +28,26 @@ object QueryTimer {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // per-query watchdog (same contract as graft.Verify): one pathological
+    // query must not hang a sweep — cancel its job group, record -1
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "900").toLong
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
-      (System.nanoTime() - t0) / 1e9
+      val work = Future {
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        finally spark.sparkContext.clearJobGroup()
+      }
+      try { Await.result(work, timeoutSec.seconds); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          System.err.println(s"[qtimer] $name timed out after ${timeoutSec}s")
+          -1.0
+      }
     }
     names.foreach { n =>
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
