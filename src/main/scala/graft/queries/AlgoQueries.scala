@@ -109,9 +109,10 @@ object AlgoQueries {
          |  JOIN sup$i s ON s.a = e.a AND s.b = e.b
          |  WHERE s.s >= ${k - 2})""".stripMargin
     }.mkString(",\n")
-    s"""WITH le AS (
-       |  SELECT 'v' || (l_orderkey % 32768) AS src,
-       |         'v' || (l_partkey % 32768) AS dst
+    s"""WITH sc AS MATERIALIZED (SELECT $liScaleSql AS k FROM lineitem),
+       |le AS (
+       |  SELECT 'v' || (l_orderkey % (32768 * (SELECT k FROM sc))) AS src,
+       |         'v' || (l_partkey % (32768 * (SELECT k FROM sc))) AS dst
        |  FROM lineitem),
        |e0 AS MATERIALIZED (
        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -275,9 +276,14 @@ object AlgoQueries {
     // 32768-vertex derivation — the 4096-vertex graph is so dense at
     // sf0.1 that no edge ever fails, which would make the query vacuous
     "kg_ktruss" -> ((s, dir) => {
+      // density-constant width (QueryUtil.liScale): triangle-support
+      // enumeration costs ~sum d(u)d(v), so a fixed modulus densifying
+      // with SF is combinatorial — measured 149 s at sf1 vs 5.9 s at
+      // sf0.1 before the guard, same class as the BGP fixture fix
+      val w = 32768 * liScale(s, dir)
       val e = s.read.parquet(s"$dir/lineitem.parquet").select(
-        concat(lit("v"), pmod(col("l_orderkey"), lit(32768)).cast("string")).as("src"),
-        concat(lit("v"), pmod(col("l_partkey"), lit(32768)).cast("string")).as("dst"))
+        concat(lit("v"), pmod(col("l_orderkey"), lit(w)).cast("string")).as("src"),
+        concat(lit("v"), pmod(col("l_partkey"), lit(w)).cast("string")).as("dst"))
       KTruss.summary(e, k = 3)
     }),
 
