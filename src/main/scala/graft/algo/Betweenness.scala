@@ -2,7 +2,6 @@ package graft.algo
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Source-sampled betweenness centrality (Brandes 2001) as level-synchronous
   * DataFrame passes — the sampled-centrality companion to
@@ -65,10 +64,19 @@ object Betweenness {
     * where betweenness = sum over seeds of Brandes' delta and n_seeds =
     * #seeds whose BFS tree assigns the vertex a positive dependency.
     */
-  def run(edges: DataFrame, seeds: Seq[String]): DataFrame = {
-    val de = edges.select("src", "dst").distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val vis = sigmaForward(de, seeds).persist(StorageLevel.MEMORY_AND_DISK)
+  def run(edges: DataFrame, seeds: Seq[String],
+          assumeDistinct: Boolean = false): DataFrame = {
+    // eager row-format checkpoints instead of columnar persists: the sigma
+    // loop and the DAG build re-read these frames every level, and the
+    // checkpoint read is a plain cached-block scan at the AQE-coalesced
+    // partitioning; `assumeDistinct` skips re-deduplicating an edge set the
+    // caller already deduplicated (dedup here is a perf guard, not a
+    // semantic step — sigma counts are over the distinct edge set either
+    // way, which is why mis-declaring would matter: only callers that KNOW
+    // the set is distinct pass true)
+    val sel = edges.select("src", "dst")
+    val de = (if (assumeDistinct) sel else sel.distinct()).localCheckpoint(true)
+    val vis = sigmaForward(de, seeds).localCheckpoint(true)
     val maxD = vis.agg(max("dist")).head().getLong(0)
 
     // shortest-path DAG edges per seed: (seed, v, w) with dist(w)=dist(v)+1;
@@ -83,8 +91,7 @@ object Betweenness {
         col("r.dw") === col("l.dv") + 1)
       .select(col("l.seed"), col("v"), col("w"), col("sigma_v"), col("sigma_w"),
         col("dw"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    dag.count() // pin the DAG once; the level loop reuses it maxD times
+      .localCheckpoint(true) // pin the DAG once; the level loop reuses it maxD times
 
     val spark = edges.sparkSession
     import spark.implicits._
@@ -104,17 +111,19 @@ object Betweenness {
         .agg(sum(col("sigma_v") / col("sigma_w") * (lit(1.0) + col("delta_w")))
           .as("delta"))
       // lazy checkpoint: truncates the per-level lineage; all levels
-      // materialize in the caller's single action
+      // materialize in the caller's single action. Every 8th level the
+      // checkpoint is EAGER so a high-diameter graph (chains, road
+      // networks) never accumulates an unboundedly deep join chain inside
+      // one job (the discipline written up in ConnectedComponents; on the
+      // bench graphs maxD is 3-4 and the eager branch never fires).
       delta = delta.union(contrib.select("seed", "vertex", "delta"))
-        .localCheckpoint(false)
+        .localCheckpoint((maxD - d) % 8 == 7)
       d -= 1
     }
     val out = delta.where(col("vertex") =!= col("seed"))
       .groupBy("vertex")
       .agg(round(sum("delta"), 6).as("betweenness"),
         count(lit(1)).cast("bigint").as("n_seeds"))
-    val materialized = out.localCheckpoint() // run while caches are live
-    vis.unpersist(false); dag.unpersist(false); de.unpersist(false)
-    materialized
+    out.localCheckpoint() // run while the checkpointed inputs are live
   }
 }

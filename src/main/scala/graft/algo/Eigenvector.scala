@@ -2,7 +2,6 @@ package graft.algo
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Eigenvector centrality by power iteration on A^T (in-edges accumulate),
   * graph-tool semantics (`centrality.py:42-55` calls `eigenvector(D)`):
@@ -12,12 +11,10 @@ import org.apache.spark.storage.StorageLevel
 object Eigenvector {
 
   def run(edges: DataFrame, eps: Double = 1e-6, maxIter: Int = 100): DataFrame = {
-    val links = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
-    val vertices = edges.select(col("src").as("vertex"))
-      .union(edges.select(col("dst").as("vertex")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = vertices.count()
+    val links = IterUtil.pin(edges.select("src", "dst"))
+    val (vertices, n) = IterUtil.pinCounted(links
+      .select(explode_outer(array(col("src"), col("dst"))).as("vertex"))
+      .distinct())
     var x = vertices.withColumn("ev", lit(1.0 / math.sqrt(n.toDouble))).localCheckpoint(true)
     var iter = 0
     var delta = Double.MaxValue
@@ -47,7 +44,6 @@ object Eigenvector {
       x = next.select("vertex", "ev")
       iter += 1
     }
-    links.unpersist(false)
     x.select("vertex", "ev")
   }
 
@@ -55,12 +51,10 @@ object Eigenvector {
     * DuckDB twin unrolls the identical normalize-each-step recurrence).
     */
   def runFixed(edges: DataFrame, iters: Int): DataFrame = {
-    val links = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
-    val vertices = edges.select(col("src").as("vertex"))
-      .union(edges.select(col("dst").as("vertex")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = vertices.count()
+    val links = IterUtil.pin(edges.select("src", "dst"))
+    val (vertices, n) = IterUtil.pinCounted(links
+      .select(explode_outer(array(col("src"), col("dst"))).as("vertex"))
+      .distinct())
     // lazy per-round checkpoints (plan truncated per round, nothing runs
     // until the single materializing count) — the fixed loop is ONE job
     var x = vertices.withColumn("ev", lit(1.0 / math.sqrt(n.toDouble))).localCheckpoint(false)
@@ -79,7 +73,6 @@ object Eigenvector {
         .localCheckpoint(false)
     }
     x.count() // materialize the chain BEFORE dropping the link cache
-    links.unpersist(false)
     x
   }
 

@@ -2,7 +2,6 @@ package graft.algo
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** HITS (Kleinberg hubs & authorities), fixed-iteration power method — the
   * natural directed companion to [[Eigenvector]] in lodcc's centrality
@@ -23,12 +22,13 @@ object Hits {
 
   def runFixed(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
-    val links = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
-    val vertices = edges.select(col("src").as("vertex"))
-      .union(edges.select(col("dst").as("vertex")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = vertices.count()
+    // loop-state frames re-read 2x per iteration: row-format checkpoints
+    // at a size-derived partition count (IterUtil) instead of 128-pinned
+    // columnar persists; the count rides the pin
+    val links = IterUtil.pin(edges.select("src", "dst"))
+    val (vertices, n) = IterUtil.pinCounted(links
+      .select(explode_outer(array(col("src"), col("dst"))).as("vertex"))
+      .distinct())
     val init = lit(1.0 / math.sqrt(n.toDouble))
     // lazy per-step checkpoints throughout: every half-step's plan is
     // truncated to a LogicalRDD, but nothing executes until the single
@@ -59,9 +59,7 @@ object Hits {
           when(col("hn") === 0.0, col("hr")).otherwise(col("hr") / col("hn")).as("hub"))
       cur = auth.join(hub, "vertex").localCheckpoint(false)
     }
-    cur.count() // materialize the chain BEFORE dropping the caches
-    links.unpersist(false)
-    vertices.unpersist(false)
+    cur.count() // materialize the chain while the pinned inputs are live
     cur.select("vertex", "auth", "hub")
   }
 }

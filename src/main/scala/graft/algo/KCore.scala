@@ -2,7 +2,6 @@ package graft.algo
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.graph.GraphTables
 
@@ -35,26 +34,39 @@ object KCore {
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val log = org.slf4j.LoggerFactory.getLogger("graft.algo.KCore")
-    var cur = GraphTables.simpleUndirected(edges)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager localCheckpoint, not persist: the loop re-reads this frame every
+    // round, and a row-format checkpoint read is a plain cached-block scan
+    // (the columnar `persist` cache paid an encode + per-round decode and
+    // pinned the round stages at the static shuffle partition count; the
+    // checkpoint keeps the AQE-coalesced partitioning of the dedup)
+    var cur = GraphTables.simpleUndirected(edges).localCheckpoint(true)
     var m = cur.count()
     var iter = 0
     var converged = m == 0L
     while (!converged && iter < maxIter) {
       val deg = cur.select(col("a").as("v")).union(cur.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d"))
-      val keep = deg.where(col("d") >= k).select("v")
-      val next = cur
-        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-        .select("a", "b")
-        .localCheckpoint(false) // lazy: the count below materializes it —
-                                // one job per round, lineage still truncated
-      val m2 = next.count()
-      cur.unpersist(false)
-      cur = next
-      converged = m2 == m // monotone peel: equal edge count == fixpoint
-      m = m2
+      // peel by the DROP set, not the keep set: dropping v ⟺ deg(v) < k is
+      // the same predicate, but the drop side is the SMALL one after the
+      // first rounds, so (a) the eager checkpoint that stops the two join
+      // branches from recomputing the degree aggregation twice is cheap,
+      // (b) AQE turns both anti-joins into broadcasts — the surviving edge
+      // set is never reshuffled inside a round — and (c) `drop` empty IS
+      // the fixpoint test (every degree-deficient vertex removes at least
+      // one edge; no such vertex ⟺ the edge count stopped moving), so the
+      // extra convergence count over `next` disappears.
+      val drop = deg.where(col("d") < k).select("v").localCheckpoint(true)
+      if (drop.isEmpty) converged = true
+      else {
+        val next = cur
+          .join(drop.withColumnRenamed("v", "a"), Seq("a"), "left_anti")
+          .join(drop.withColumnRenamed("v", "b"), Seq("b"), "left_anti")
+          .select("a", "b")
+          .localCheckpoint(false) // lazy: the count below materializes it
+        cur = next
+        m = next.count()
+        converged = m == 0L
+      }
       iter += 1
     }
     if (!converged) log.warn(s"kCore(k=$k): not converged after $maxIter rounds")

@@ -27,15 +27,38 @@ object KTruss {
     */
   def run(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
     require(k >= 3, "k must be >= 3 (the 2-truss is the whole simple graph)")
-    var cur = GraphTables.simpleUndirected(edges).localCheckpoint(false)
+    // Orient ONCE by the initial (degree, id) order and carry the oriented
+    // endpoints through the peel: any FIXED total vertex order finds each
+    // triangle of the surviving subgraph exactly once, so later rounds can
+    // reuse the round-0 orientation — the per-round re-simplification,
+    // degree aggregation and two orientation joins the generic
+    // [[Triangles.triangles]] entry pays are hoisted out of the loop.
+    val simple0 = GraphTables.simpleUndirected(edges)
+    val deg0 = simple0.select(col("a").as("v"))
+      .union(simple0.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val loFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    var cur = simple0
+      .join(deg0.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg0.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+      .select(col("a"), col("b"),
+        when(loFirst, col("a")).otherwise(col("b")).as("lo"),
+        when(loFirst, col("b")).otherwise(col("a")).as("hi"),
+        when(loFirst, col("db")).otherwise(col("da")).as("dhi"))
+      .localCheckpoint(false)
     var lastSup: DataFrame = null
     var prev = -1L
     var cnt = cur.count()
     var round = 0
     while (cnt != prev && round < maxRounds) {
       prev = cnt
-      val tri = Triangles.triangles(
-        cur.select(col("a").as("src"), col("b").as("dst")))
+      val e1 = cur.select(col("lo").as("u"), col("hi").as("v"), col("dhi").as("dv"))
+      val e2 = cur.select(col("lo").as("u"), col("hi").as("w"), col("dhi").as("dw"))
+      val wedges = e1.join(e2, Seq("u"))
+        .where(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+      val probe = cur.select(col("lo").as("v"), col("hi").as("w"))
+      val tri = wedges.join(probe, Seq("v", "w"), "left_semi")
+        .select(col("u"), col("v"), col("w"))
       // triangle members are (deg, id)-oriented — normalize each of the 3
       // edges back to the id-ordered (a, b) key of the edge set
       val sup = tri.select(explode(array(
@@ -52,7 +75,7 @@ object KTruss {
       // when the set stops changing, these supports were computed over
       // exactly the final set — no extra pass needed
       lastSup = next
-      cur = next.select("a", "b")
+      cur = next.drop("support")
       cnt = cur.count()
       round += 1
     }
@@ -63,7 +86,8 @@ object KTruss {
       throw new IllegalStateException(
         s"k-truss peel did not converge in $maxRounds rounds " +
           s"(edge count still moving: $prev -> $cnt); raise maxRounds")
-    if (lastSup == null) cur.withColumn("support", lit(0L)).where(lit(false))
+    if (lastSup == null)
+      cur.select("a", "b").withColumn("support", lit(0L)).where(lit(false))
     else lastSup.select(col("a"), col("b"), col("support"))
   }
 

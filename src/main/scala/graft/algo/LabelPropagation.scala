@@ -2,7 +2,6 @@ package graft.algo
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Synchronous label propagation (Raghavan et al. 2007) made fully
   * deterministic — an engine addition beyond lodcc's measure set (its
@@ -34,11 +33,15 @@ object LabelPropagation {
   /** (vertex, community) after `iters` synchronous rounds. */
   def runFixed(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
+    // symmetrize with ONE generator pass over the caller's edge plan (the
+    // two-branch union evaluated the upstream subtree twice); explode_outer
+    // for the same InferFiltersFromGenerate reason as ConnectedComponents
     val nbrs = edges.where(col("src") =!= col("dst"))
-      .select(col("src").as("v"), col("dst").as("u"))
-      .union(edges.where(col("src") =!= col("dst"))
-        .select(col("dst").as("v"), col("src").as("u")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(explode_outer(array(
+          struct(col("src").as("v"), col("dst").as("u")),
+          struct(col("dst").as("v"), col("src").as("u")))).as("e"))
+      .select(col("e.v").as("v"), col("e.u").as("u"))
+      .localCheckpoint(true)
     val vertices = nbrs.select(col("v").as("vertex")).distinct()
 
     // lazy per-round checkpoints + one materializing count after the loop:
@@ -61,8 +64,7 @@ object LabelPropagation {
         .localCheckpoint(false)
       labels = next
     }
-    labels.count() // materialize the chain BEFORE dropping the neighbor cache
-    nbrs.unpersist(false)
+    labels.count() // materialize the chain while the checkpoint is live
     labels
   }
 
@@ -86,14 +88,18 @@ object LabelPropagation {
     */
   def runSeededFixed(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
+    // symmetrize with ONE generator pass over the caller's edge plan (the
+    // two-branch union evaluated the upstream subtree twice); explode_outer
+    // for the same InferFiltersFromGenerate reason as ConnectedComponents
     val nbrs = edges.where(col("src") =!= col("dst"))
-      .select(col("src").as("v"), col("dst").as("u"))
-      .union(edges.where(col("src") =!= col("dst"))
-        .select(col("dst").as("v"), col("src").as("u")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val vertices = nbrs.select(col("v").as("vertex")).distinct()
-    val sd = seeds.select(col("vertex"), col("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(explode_outer(array(
+          struct(col("src").as("v"), col("dst").as("u")),
+          struct(col("dst").as("v"), col("src").as("u")))).as("e"))
+      .select(col("e.v").as("v"), col("e.u").as("u"))
+      .localCheckpoint(true)
+    // vertices and the clamped seed table are re-read every round
+    val vertices = IterUtil.pin(nbrs.select(col("v").as("vertex")).distinct())
+    val sd = IterUtil.pin(seeds.select(col("vertex"), col("label")))
 
     // lazy checkpoints + one materializing count, as in [[runFixed]]
     var labels = vertices.join(sd, Seq("vertex"), "left_outer")
@@ -114,9 +120,7 @@ object LabelPropagation {
           coalesce(col("label"), col("prop_label")).as("label"))
         .localCheckpoint(false)
     }
-    labels.count() // materialize the chain BEFORE dropping the caches
-    nbrs.unpersist(false)
-    sd.unpersist(false)
+    labels.count() // materialize the chain while the checkpoints are live
     labels
   }
 }

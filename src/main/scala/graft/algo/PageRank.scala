@@ -2,7 +2,6 @@ package graft.algo
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** PageRank with graph-tool's conventions (`centrality.py:81-98` calls
   * `graph_tool.centrality.pagerank`): the *unnormalized* fixpoint
@@ -17,13 +16,18 @@ object PageRank {
 
   def run(edges: DataFrame, damping: Double = 0.85, eps: Double = 1e-6,
           maxIter: Int = 100): DataFrame = {
-    val links = edges.select("src", "dst")
-      .join(edges.groupBy("src").agg(count(lit(1)).as("out_deg")), "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val vertices = edges.select(col("src").as("vertex"))
-      .union(edges.select(col("dst").as("vertex")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // loop-state frames re-read every iteration: row-format checkpoints at
+    // a size-derived partition count (see IterUtil) instead of 128-pinned
+    // columnar persists
+    // ONE evaluation of the caller's edge plan: links and vertices both
+    // derive from this checkpoint (the old shape read the upstream plan
+    // four times: twice for the degree join, twice for the vertex union)
+    val sel = edges.select("src", "dst").localCheckpoint(true)
+    val links = IterUtil.pin(sel
+      .join(sel.groupBy("src").agg(count(lit(1)).as("out_deg")), "src"))
+    val vertices = IterUtil.pin(sel
+      .select(explode_outer(array(col("src"), col("dst"))).as("vertex"))
+      .distinct())
 
     var ranks = vertices.withColumn("rank", lit(1.0 - damping)).localCheckpoint(true)
     var iter = 0
@@ -49,7 +53,6 @@ object PageRank {
       ranks = next.select("vertex", "rank")
       iter += 1
     }
-    links.unpersist(false)
     ranks.select("vertex", "rank")
   }
 
@@ -58,13 +61,15 @@ object PageRank {
     * unrolled recurrence.
     */
   def runFixed(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
-    val links = edges.select("src", "dst")
-      .join(edges.groupBy("src").agg(count(lit(1)).as("out_deg")), "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val vertices = edges.select(col("src").as("vertex"))
-      .union(edges.select(col("dst").as("vertex")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE evaluation of the caller's edge plan: links and vertices both
+    // derive from this checkpoint (the old shape read the upstream plan
+    // four times: twice for the degree join, twice for the vertex union)
+    val sel = edges.select("src", "dst").localCheckpoint(true)
+    val links = IterUtil.pin(sel
+      .join(sel.groupBy("src").agg(count(lit(1)).as("out_deg")), "src"))
+    val vertices = IterUtil.pin(sel
+      .select(explode_outer(array(col("src"), col("dst"))).as("vertex"))
+      .distinct())
     // every per-round checkpoint is LAZY: each round's plan is truncated to
     // a LogicalRDD immediately, but nothing executes until the single count
     // below — the whole fixed loop runs as ONE multi-stage job (each round's
@@ -81,7 +86,6 @@ object PageRank {
         .localCheckpoint(false)
     }
     ranks.count() // materialize the chain BEFORE dropping the link cache
-    links.unpersist(false)
     ranks
   }
 
@@ -101,12 +105,12 @@ object PageRank {
                        damping: Double = 0.85): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col(wCol).cast("double").as("w"))
       .where(col("w") > 0)
-    val links = e.join(e.groupBy("src").agg(sum("w").as("wsum")), "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val vertices = e.select(col("src").as("vertex"))
-      .union(e.select(col("dst").as("vertex")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // one upstream pass
+    val links = IterUtil.pin(
+      e.join(e.groupBy("src").agg(sum("w").as("wsum")), "src"))
+    val vertices = IterUtil.pin(e
+      .select(explode_outer(array(col("src"), col("dst"))).as("vertex"))
+      .distinct())
     // lazy per-round checkpoints + one materializing count: see runFixed
     var ranks = vertices.withColumn("rank", lit(1.0 - damping)).localCheckpoint(false)
     for (_ <- 1 to iters) {
@@ -120,7 +124,6 @@ object PageRank {
         .localCheckpoint(false)
     }
     ranks.count() // materialize the chain BEFORE dropping the link cache
-    links.unpersist(false)
     ranks
   }
 
@@ -139,13 +142,15 @@ object PageRank {
   def runPersonalizedFixed(edges: DataFrame, seeds: Seq[String], iters: Int,
                            damping: Double = 0.85): DataFrame = {
     require(seeds.nonEmpty, "seeds must be non-empty")
-    val links = edges.select("src", "dst")
-      .join(edges.groupBy("src").agg(count(lit(1)).as("out_deg")), "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val vertices = edges.select(col("src").as("vertex"))
-      .union(edges.select(col("dst").as("vertex")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE evaluation of the caller's edge plan: links and vertices both
+    // derive from this checkpoint (the old shape read the upstream plan
+    // four times: twice for the degree join, twice for the vertex union)
+    val sel = edges.select("src", "dst").localCheckpoint(true)
+    val links = IterUtil.pin(sel
+      .join(sel.groupBy("src").agg(count(lit(1)).as("out_deg")), "src"))
+    val vertices = IterUtil.pin(sel
+      .select(explode_outer(array(col("src"), col("dst"))).as("vertex"))
+      .distinct())
     val base = when(col("vertex").isInCollection(seeds),
       lit((1.0 - damping) / seeds.size)).otherwise(lit(0.0))
     // lazy per-round checkpoints + one materializing count: see runFixed
@@ -161,8 +166,6 @@ object PageRank {
         .localCheckpoint(false)
     }
     ranks.count() // materialize the chain BEFORE dropping the caches
-    links.unpersist(false)
-    vertices.unpersist(false)
     ranks
   }
 

@@ -70,7 +70,7 @@ object Scc {
         t += 1
         val keep = e.select(col("src").as("vertex")).distinct()
           .join(e.select(col("dst").as("vertex")).distinct(), Seq("vertex"))
-          .localCheckpoint(true)
+          .localCheckpoint(false) // lazy: the count below materializes it
         val nKeep = keep.count()
         if (nKeep == nLeft) trimming = false
         else {
@@ -86,6 +86,17 @@ object Scc {
 
       if (nLeft > 0) {
         // ---- forward min-label coloring fixpoint -------------------------
+        // TWO propagation steps per materialized round: min-label coloring
+        // is monotone, so applying the update twice before re-checking
+        // reaches the identical fixpoint in half the driver round-trips;
+        // the checkpoint is LAZY and the signature agg is the ONE job that
+        // materializes it (the eager-checkpoint + separate-signature shape
+        // paid 2 jobs per single step).
+        def colorStep(cc: DataFrame): DataFrame = {
+          val prop = e.join(cc.withColumnRenamed("vertex", "src"), Seq("src"))
+            .select(col("dst").as("vertex"), col("c"))
+          cc.union(prop).groupBy("vertex").agg(min("c").as("c"))
+        }
         var c = verts.select(col("vertex"), col("vertex").as("c"))
           .localCheckpoint(true)
         var prevSig = (-1L, -1L)
@@ -96,10 +107,10 @@ object Scc {
           if (inner > maxInner)
             throw new IllegalStateException(
               s"SCC coloring did not converge in $maxInner rounds")
-          val prop = e.join(c.withColumnRenamed("vertex", "src"), Seq("src"))
-            .select(col("dst").as("vertex"), col("c"))
-          c = c.union(prop).groupBy("vertex").agg(min("c").as("c"))
-            .localCheckpoint(true)
+          // the inner step is lazily checkpointed too: the outer step reads
+          // it twice (join side + union side), and without the checkpoint
+          // the inner join+agg subtree would execute twice per round
+          c = colorStep(colorStep(c).localCheckpoint(false)).localCheckpoint(false)
           val r = c.agg(count(lit(1)).as("n"),
             coalesce(bit_xor(xxhash64(col("vertex"), col("c"))), lit(0L)).as("h"))
             .head()
@@ -115,13 +126,17 @@ object Scc {
           .where(col("cs") === col("cd"))
           .select(col("src"), col("dst"), col("cs").as("scc"))
           .localCheckpoint(true)
+        // frontier-based backward mark (the BFS discipline): each round
+        // propagates only from the NEWLY marked vertices instead of
+        // re-joining and re-deduplicating the whole marked set, and the
+        // lazy checkpoint's count is the one job per round
         var m = c.where(col("vertex") === col("c"))
           .select(col("vertex"), col("c").as("scc"))
           .localCheckpoint(true)
-        var mCount = m.count()
-        var grown = true
+        var frontier = m
+        var fCount = frontier.count()
         inner = 0
-        while (grown) {
+        while (fCount > 0) {
           inner += 1
           if (inner > maxInner)
             throw new IllegalStateException(
@@ -129,12 +144,16 @@ object Scc {
           // edge scc == c(dst) == mark scc of dst by construction, so the
           // dst-keyed equi-join alone is the full propagation condition
           val back = intra
-            .join(m.select(col("vertex").as("dst")), Seq("dst"), "left_semi")
+            .join(frontier.select(col("vertex").as("dst")), Seq("dst"), "left_semi")
             .select(col("src").as("vertex"), col("scc"))
-          m = m.union(back).distinct().localCheckpoint(true)
-          val n = m.count()
-          grown = n != mCount
-          mCount = n
+            .distinct()
+            .join(m, Seq("vertex"), "left_anti")
+            .localCheckpoint(false) // lazy: the count below materializes it
+          fCount = back.count()
+          if (fCount > 0) {
+            m = m.union(back).localCheckpoint(false)
+            frontier = back
+          }
         }
 
         peel(m)

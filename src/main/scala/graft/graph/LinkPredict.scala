@@ -34,12 +34,29 @@ object LinkPredict {
     val centers = nbr.select(col("u").as("w"), col("v").as("x"))
       .join(deg.select(col("u").as("w"), col("d").as("dw")), "w")
       .where(col("dw") <= maxHubDeg)
-    val pairs = centers.as("l").join(centers.as("r"),
-        col("l.w") === col("r.w") && col("l.x") < col("r.x"))
-      .select(col("l.x").as("a"), col("r.x").as("b"), col("l.dw").as("dw"))
+    // degree-oriented wedge generation: fold each guarded center's
+    // neighbors into ONE sorted array (bounded at maxHubDeg elements by
+    // the guard above) and emit every unordered pair exactly once —
+    // the previous center self-join streamed all deg^2 ordered
+    // combinations per center before the l.x < r.x filter kept half.
+    // The groupBy rides the join's w-partitioning: no extra exchange.
+    val lists = centers.groupBy(col("w"), col("dw"))
+      .agg(sort_array(collect_list(col("x"))).as("xs"))
+      // degree-1 centers produce no pairs — and must be dropped BEFORE the
+      // per-center 1/ln(dw) below (ln(1) = 0 would divide by zero on rows
+      // the per-pair formulation never materialized)
+      .where(col("dw") >= 2)
+      // 1/ln(dw) is constant per center: evaluate it once per list here
+      // instead of once per exploded pair (the pair volume is ~deg^2/2)
+      .select((lit(1.0) / log(col("dw").cast("double"))).as("invlog"), col("xs"))
+    val pairs = lists.select(col("invlog"), explode(flatten(
+        transform(col("xs"), (x, i) => transform(
+          slice(col("xs"), i + lit(2), size(col("xs"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("invlog"))
     pairs.groupBy("a", "b").agg(
         count(lit(1)).as("common_neighbors"),
-        sum(lit(1.0) / log(col("dw").cast("double"))).as("adamic_adar"))
+        sum(col("invlog")).as("adamic_adar"))
       .join(broadcast(deg.select(col("u").as("a"), col("d").as("da"))), "a")
       .join(broadcast(deg.select(col("u").as("b"), col("d").as("db"))), "b")
       .withColumn("jaccard", col("common_neighbors").cast("double") /

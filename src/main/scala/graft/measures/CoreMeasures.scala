@@ -141,17 +141,19 @@ object CoreMeasures {
       e.groupBy(col("src")).agg(count(lit(1)).as("od"))
         .agg(max_by(col("src"), struct(col("od"), col("src"))))
         .head().getString(0)
-    val (useEdges, source) =
-      if (top.isEmpty || top.head.getLong(1) <= 1) {
-        (edges, maxOutSource(edges))
-      } else {
-        val comp = top.head.getString(0)
-        val members = cc.where(col("component") === comp).select(col("vertex"))
-        val lcEdges = edges
-          .join(members.withColumnRenamed("vertex", "src"), Seq("src"), "left_semi")
-          .join(members.withColumnRenamed("vertex", "dst"), Seq("dst"), "left_semi")
-        (lcEdges, maxOutSource(lcEdges))
-      }
+    // the selected edge set is read by the source-degree aggregation AND by
+    // every BFS sweep: checkpoint the (possibly semi-joined) multigraph once
+    // so neither consumer re-executes the caller's upstream plan
+    val useEdges =
+      (if (top.isEmpty || top.head.getLong(1) <= 1) edges.select("src", "dst")
+       else {
+         val comp = top.head.getString(0)
+         val members = cc.where(col("component") === comp).select(col("vertex"))
+         edges.select("src", "dst")
+           .join(members.withColumnRenamed("vertex", "src"), Seq("src"), "left_semi")
+           .join(members.withColumnRenamed("vertex", "dst"), Seq("dst"), "left_semi")
+       }).localCheckpoint(true)
+    val source = maxOutSource(useEdges)
     val (d, s, t) = Bfs.pseudoDiameter(useEdges, source)
     if (ownCC) cc.unpersist(false)
     import spark.implicits._

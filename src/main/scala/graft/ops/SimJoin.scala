@@ -56,7 +56,11 @@ object SimJoin {
     require(maxShortBlock > 0, "maxShortBlock must be positive")
     val d = maxDist
     val k = d + 1 // segments per string
-    val s = strs.select(col(idCol).as("id"), col(strCol).as("str")).cache()
+    // eager row checkpoint, not a columnar cache: four consumers read this
+    // frame (index, probe, both verify joins) and a .cache() materializes
+    // racily from concurrent stages and decodes columnar batches per read
+    val s = strs.select(col(idCol).as("id"), col(strCol).as("str"))
+      .localCheckpoint(true)
     val withLen = s.withColumn("l", length(col("str")))
 
     // integer segment boundaries of a length-l string into k parts:
@@ -191,7 +195,7 @@ object SimJoin {
         explode(split(col(textCol), " +")).as("token"))
       .where(length(col("token")) > 0)
       .distinct()
-      .cache()
+      .localCheckpoint(true) // eager row checkpoint: see editDistancePairs
     val dfreq = tok.groupBy("token").agg(count(lit(1)).as("df"))
 
     import org.apache.spark.sql.expressions.Window
@@ -245,7 +249,7 @@ object SimJoin {
         explode(split(col(textCol), " +")).as("token"))
       .where(length(col("token")) > 0)
       .distinct()
-      .cache()
+      .localCheckpoint(true) // eager row checkpoint: see editDistancePairs
     // set size and prefix rank ride ONE id-keyed exchange (two window
     // functions over the same partition key), and sz is carried through
     // the candidate pairs so no separate size table ever joins again; the
