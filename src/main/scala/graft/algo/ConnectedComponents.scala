@@ -115,14 +115,20 @@ object ConnectedComponents {
     // consumption of the result — for a caller whose edge table is an
     // expensive similarity chain (incremental canonicalization) that
     // tripled the query
-    val allVs = timed("allVs")(edges
+    val allVsBase = timed("allVs")(edges
       .select(explode_outer(array(col("src"), col("dst"))).as("vertex"))
       .distinct() // one scan, not union-of-two-selects (halves input decode)
       .localCheckpoint(true))
 
     // the count scans the checkpoint blocks, not the caller's plan; |V|
     // also sizes the per-round broadcast decision (BroadcastMaxVertices)
-    val nV = timed("countV")(allVs.count())
+    val nV = timed("countV")(allVsBase.count())
+    // size-derived partition pin (IterUtil discipline): the checkpoint
+    // inherits the static shuffle partition count, so on the suite's small
+    // graphs every downstream join/fill stage schedules 128 near-empty
+    // tasks per scan; coalesce caps at the current count, so the big
+    // scaling-leg graphs are untouched
+    val allVs = sizeCoalesced(allVsBase, nV)
     if (numericVertices(edges)) return fill(allVs, fixpoint(edges, maxIter, nV))
     if (nV < encodeMinVertices) return fill(allVs, fixpoint(edges, maxIter, nV))
 
@@ -160,6 +166,16 @@ object ConnectedComponents {
     */
   // diagnostics only: per-phase walls on stderr when SPARK_GRAFT_CC_TIMING
   // is set (used by tools.CcLegProbe to attribute leg scaling)
+  /** Narrow coalesce of a materialized frame to `ceil(n / 4M)` partitions
+    * (never more than it already has) — the IterUtil row budget applied to
+    * the kernel's own checkpoints.
+    */
+  private def sizeCoalesced(df: DataFrame, n: Long): DataFrame = {
+    val cur = df.rdd.getNumPartitions
+    val p = math.max(1L, math.min(cur.toLong, n / 4000000L + 1L)).toInt
+    if (p < cur) df.coalesce(p) else df
+  }
+
   private def timed[T](what: String)(f: => T): T =
     if (!sys.env.contains("SPARK_GRAFT_CC_TIMING")) f
     else {
@@ -176,6 +192,7 @@ object ConnectedComponents {
     // round-0 pair count: one cheap job over the checkpointed blocks;
     // later rounds reuse the signature job's count
     var canonCount = timed("countPairs")(canon.count())
+    canon = sizeCoalesced(canon, canonCount)
 
     // Broadcast the mins table only when the pair set DWARFS the vertex
     // universe: building + shipping a |V|-row hash relation is serial-ish
@@ -237,7 +254,7 @@ object ConnectedComponents {
       canonCount = sig._1
       iter += 1
       canon.unpersist(false)
-      canon = next
+      canon = sizeCoalesced(next, canonCount)
     }
     // canon now the (member > root) star: component = min neighbor for
     // members, self for roots — expand and take min over both directions

@@ -39,4 +39,22 @@ private[graft] object IterUtil {
   /** [[pinCounted]] when the caller does not need the count. */
   def pin(df: DataFrame, rowsPerPartition: Long = 4000000L): DataFrame =
     pinCounted(df, rowsPerPartition)._1
+
+  /** The columnar-cache twin of [[pinCounted]], for frames that WANT
+    * `cache()` semantics (plan-canonical lookup lets a later identical
+    * query instance reuse the materialized blocks) but must not pin the
+    * static shuffle partition count on every consumer: cache, materialize
+    * EAGERLY (a cold cache materializes independently inside every
+    * concurrent AQE broadcast-subtree job otherwise), and coalesce the
+    * cached blocks to a size-derived count so downstream stages stop
+    * scheduling `spark.sql.shuffle.partitions` near-empty tasks per scan.
+    */
+  def cachePinned(df: DataFrame,
+                  rowsPerPartition: Long = 4000000L): (DataFrame, Long) = {
+    val c = df.cache()
+    val n = c.count()
+    val cur = c.rdd.getNumPartitions
+    val p = math.max(1L, math.min(cur.toLong, n / rowsPerPartition + 1L)).toInt
+    (if (p < cur) c.coalesce(p) else c, n)
+  }
 }

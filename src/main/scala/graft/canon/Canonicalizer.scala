@@ -3,7 +3,7 @@ package graft.canon
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.algo.ConnectedComponents
+import graft.algo.{ConnectedComponents, IterUtil}
 import graft.extract.Extractor
 import graft.ops.{Dedup, TextOps}
 
@@ -54,7 +54,7 @@ object Canonicalizer {
     */
   def canonicalize(surfaces: DataFrame, shingleK: Int = 3,
                    rowsPerBand: Int = 2, minJ: Double = 0.5): DataFrame = {
-    val s = surfaces.select(col("surface")).distinct().cache()
+    val s = IterUtil.cachePinned(surfaces.select(col("surface")).distinct())._1
     val withNorm = s.withColumn("norm", Extractor.normalizeCol(col("surface")))
 
     // (a) exact edges through the normalized form (star, not all-pairs)
@@ -67,33 +67,37 @@ object Canonicalizer {
     // coeff-crossJoin-groupBy shuffle; at 10^8+ extracted surfaces those
     // two shuffles dominate the canonicalization stage
     val k = shingleK
-    val idx = when(length(col("norm")) >= k,
-      sequence(lit(1), length(col("norm")) - (k - 1)))
-      .otherwise(array(lit(1)))
-    val withHs = withNorm.withColumn("hs",
-      array_distinct(transform(idx,
-        i => TextOps.portableHash31(col("norm").substr(i, lit(k))))))
-      .cache()
+    // NATIVE codegen char-shingle hashing + signature minima
+    // (graft.functions.PortableMinhash): the transform/array_min lambda
+    // chain is CodegenFallback (interpreted per element); the compiled
+    // loop computes the identical values (OpsSpec twin-equality)
+    import org.apache.spark.sql.graft.Bridge
+    val withHs = IterUtil.cachePinned(withNorm.withColumn("hs",
+      Bridge.column(graft.functions.CharShingleHash31(
+        Bridge.expression(col("norm")), k))))._1
     // array form feeds the LSH directly — the signature table never
     // shuffles (Dedup.minhashLshCandidatesArrays scaladoc)
     val sigArrays = withHs.select(col("surface").as("id"),
-      array(Dedup.MinhashCoeffs.map { case (a, b) =>
-        array_min(transform(col("hs"),
-          h => (lit(a) * h + lit(b)) % Dedup.MinhashPrime))
-      }: _*).as("mhs"))
+      Bridge.column(graft.functions.MinhashSigs(
+        Bridge.expression(col("hs")),
+        Dedup.MinhashCoeffs.map(_._1), Dedup.MinhashCoeffs.map(_._2),
+        Dedup.MinhashPrime)).as("mhs"))
     val cands = Dedup.minhashLshCandidatesArrays(sigArrays, rowsPerBand)
-    // exploded (id, h) rows for the exact-Jaccard verification joins
-    val sh = withHs.select(col("surface").as("id"), explode(col("hs")).as("h"))
 
-    // verify candidates at Jaccard >= minJ over the char shingle sets
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // verify candidates at Jaccard >= minJ over the char shingle sets —
+    // per-PAIR array intersection on the stored hash arrays instead of the
+    // exploded (id, h) double-join + count + two size joins: the shuffled
+    // rows drop from Σ|hs| per candidate to 2 arrays per candidate, and
+    // the per-id size table disappears (guide §2.3 — shuffle fewer bytes).
+    // `inter >= 1` reproduces the inner double-join exactly (a pair with
+    // an empty intersection produced no row there)
     val verified = cands
-      .join(sh.select(col("id").as("a"), col("h")), "a")
-      .join(sh.select(col("id").as("b"), col("h")), Seq("b", "h")) // equi-join = set intersection
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("a"), col("sz").as("sa")), "a")
-      .join(sizes.select(col("id").as("b"), col("sz").as("sb")), "b")
-      .where(col("inter").cast("double") / (col("sa") + col("sb") - col("inter")) >= minJ)
+      .join(withHs.select(col("surface").as("a"), col("hs").as("__ha")), "a")
+      .join(withHs.select(col("surface").as("b"), col("hs").as("__hb")), "b")
+      .withColumn("__inter", size(array_intersect(col("__ha"), col("__hb"))))
+      .where(col("__inter") >= 1 &&
+        col("__inter").cast("double") /
+          (size(col("__ha")) + size(col("__hb")) - col("__inter")) >= minJ)
       .select(col("a").as("src"), col("b").as("dst"))
 
     // the CC kernel scans its edge input several times (vertex-universe
@@ -101,10 +105,10 @@ object Canonicalizer {
     // Jaccard-verify joins run once — all scans happen inside run(), so
     // the cache is released as soon as it returns (same shape as the
     // incremental path's edges cache)
-    val edges = exactEdges.union(verified)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edgesC = exactEdges.union(verified).cache()
+    val edges = IterUtil.cachePinned(edgesC)._1 // eager + size-coalesced view
     val cc = ConnectedComponents.run(edges)
-    edges.unpersist(false)
+    edgesC.unpersist(false)
     // surfaces that collected no edge are their own canonical form
     s.join(cc.withColumnRenamed("vertex", "surface"), Seq("surface"), "left_outer")
       .select(col("surface"), coalesce(col("component"), col("surface")).as("canonical"))
@@ -187,14 +191,22 @@ object Canonicalizer {
     // materialize each ONCE (pm: anti-join, anchor-replace x2, anchor set;
     // ps: norm-star semi-join, band table, shingle table) instead of
     // re-running the upstream scan per consumer
-    val pm = prior.select(col("surface"), col("canonical")).cache()
-    val ps = pm.select(col("surface"))
-      .withColumn("norm", Extractor.normalizeCol(col("surface")))
-      .cache()
-    val nw = newSurfaces.select(col("surface")).distinct()
-      .join(pm.select(col("surface")), Seq("surface"), "left_anti")
-      .withColumn("norm", Extractor.normalizeCol(col("surface")))
-      .cache()
+    // shared caches are pinned via IterUtil.cachePinned: EAGER (a cold
+    // cache materializes independently inside every concurrent AQE
+    // broadcast-subtree job the final action spawns — the cold-run stage
+    // profile showed 380+ task-seconds of exactly that recompute, 82 s
+    // cold vs 3.4 s warm in the driver's own pass1/pass2) and coalesced to
+    // a size-derived partition count (a cached 128-partition shuffle pins
+    // 128 near-empty tasks onto every downstream stage of this
+    // small-surface chain)
+    val (pm, _) = IterUtil.cachePinned(
+      prior.select(col("surface"), col("canonical")))
+    val (ps, _) = IterUtil.cachePinned(pm.select(col("surface"))
+      .withColumn("norm", Extractor.normalizeCol(col("surface"))))
+    val (nw, _) = IterUtil.cachePinned(
+      newSurfaces.select(col("surface")).distinct()
+        .join(pm.select(col("surface")), Seq("surface"), "left_anti")
+        .withColumn("norm", Extractor.normalizeCol(col("surface"))))
 
     // (a) exact-norm star edges over {new} ∪ {prior sharing a new norm}
     val tnorm = nw.select(col("norm")).distinct()
@@ -205,21 +217,19 @@ object Canonicalizer {
       .where(col("surface") =!= col("h"))
       .select(col("h").as("src"), col("surface").as("dst"))
 
-    // (b) LSH candidates, new-side-driven: new bands join ALL bands
-    def withHs(df: DataFrame): DataFrame = {
-      val idx = when(length(col("norm")) >= k,
-        sequence(lit(1), length(col("norm")) - (k - 1)))
-        .otherwise(array(lit(1)))
-      df.withColumn("hs", array_distinct(transform(idx,
-        i => TextOps.portableHash31(col("norm").substr(i, lit(k))))))
-    }
+    // (b) LSH candidates, new-side-driven: new bands join ALL bands.
+    // NATIVE codegen shingle hashing + signature minima (see canonicalize)
+    import org.apache.spark.sql.graft.Bridge
+    def withHs(df: DataFrame): DataFrame =
+      df.withColumn("hs", Bridge.column(graft.functions.CharShingleHash31(
+        Bridge.expression(col("norm")), k)))
     def sigArrays(df: DataFrame): DataFrame =
       df.select(col("surface").as("id"),
-        array(Dedup.MinhashCoeffs.map { case (a, b) =>
-          array_min(transform(col("hs"),
-            h => (lit(a) * h + lit(b)) % Dedup.MinhashPrime))
-        }: _*).as("mhs"))
-    val hsNew = withHs(nw).cache()
+        Bridge.column(graft.functions.MinhashSigs(
+          Bridge.expression(col("hs")),
+          Dedup.MinhashCoeffs.map(_._1), Dedup.MinhashCoeffs.map(_._2),
+          Dedup.MinhashPrime)).as("mhs"))
+    val hsNew = IterUtil.cachePinned(withHs(nw))._1
     val hsPrior = withHs(ps)
     val bNew = Dedup.bandTable(sigArrays(hsNew), rowsPerBand)
     val bAll = bNew.unionByName(Dedup.bandTable(sigArrays(hsPrior), rowsPerBand))
@@ -230,18 +240,19 @@ object Canonicalizer {
         greatest(col("x.id"), col("y.id")).as("b"))
       .distinct()
 
-    // verify candidates at char-shingle Jaccard >= minJ
-    val sh = hsNew.select(col("surface").as("id"), col("hs"))
+    // verify candidates at char-shingle Jaccard >= minJ — per-PAIR array
+    // intersection on the stored hash arrays (see canonicalize: shuffles 2
+    // arrays per candidate instead of Σ|hs| exploded rows + a size table;
+    // `inter >= 1` reproduces the inner double-join exactly)
+    val hsAll = hsNew.select(col("surface").as("id"), col("hs"))
       .unionByName(hsPrior.select(col("surface").as("id"), col("hs")))
-      .select(col("id"), explode(col("hs")).as("h"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val verified = cands
-      .join(sh.select(col("id").as("a"), col("h")), "a")
-      .join(sh.select(col("id").as("b"), col("h")), Seq("b", "h"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("a"), col("sz").as("sa")), "a")
-      .join(sizes.select(col("id").as("b"), col("sz").as("sb")), "b")
-      .where(col("inter").cast("double") / (col("sa") + col("sb") - col("inter")) >= minJ)
+      .join(hsAll.select(col("id").as("a"), col("hs").as("__ha")), "a")
+      .join(hsAll.select(col("id").as("b"), col("hs").as("__hb")), "b")
+      .withColumn("__inter", size(array_intersect(col("__ha"), col("__hb"))))
+      .where(col("__inter") >= 1 &&
+        col("__inter").cast("double") /
+          (size(col("__ha")) + size(col("__hb")) - col("__inter")) >= minJ)
       .select(col("a").as("src"), col("b").as("dst"))
 
     // anchor-replace prior endpoints, then one CC merge
@@ -254,9 +265,10 @@ object Canonicalizer {
       .select(coalesce(col("__s_c"), col("src")).as("src"),
         coalesce(col("__d_c"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst"))
-      .cache() // the CC kernel and its consumers evaluate this chain
-               // (bands + verify + anchor joins) several times otherwise
-    val cc = ConnectedComponents.run(edges).cache() // consumed twice below
+    // pinned: the CC kernel and its consumers evaluate this chain
+    // (bands + verify + anchor joins) several times otherwise
+    val edgesP = IterUtil.cachePinned(edges)._1
+    val cc = IterUtil.cachePinned(ConnectedComponents.run(edgesP))._1 // 2 consumers
     val anchors = pm.select(col("canonical").as("vertex")).distinct()
     val compAnchor = cc.join(anchors, "vertex")
       .groupBy("component").agg(min("vertex").as("anchor"))

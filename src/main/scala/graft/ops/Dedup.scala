@@ -191,22 +191,22 @@ object Dedup {
     */
   def minhashSignatureArrays(docs: DataFrame, idCol: String, textCol: String,
                              shingleK: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
     val toks = TextOps.tokens(col(textCol))
-    val idx = when(size(toks) >= shingleK,
-      sequence(lit(0), size(toks) - shingleK)).otherwise(typedlit(Seq.empty[Int]))
-    // materialize the hashed distinct-shingle array ONCE per row, in its own
-    // projection: the k array_min passes below reference the stored array,
-    // so the md5 per shingle is computed once, not once per coefficient
-    // (k+1 interpreted re-evaluations of the md5 transform was a 10x
-    // regression at sf0.1)
+    // NATIVE codegen kernels (graft.functions.PortableMinhash): the
+    // composed transform/array_min lambdas are CodegenFallback and
+    // evaluate interpreted at ~10 ms/row — multiplied by every plan
+    // branch that re-inlines the projection (the optimizer prunes the
+    // branches to DIFFERENT column sets, so exchange reuse cannot dedupe
+    // them). One compiled loop per row computes the identical values
+    // (OpsSpec pins bit-equality against the composed twin).
     val hashed = docs.where(size(toks) >= shingleK)
       .select(col(idCol).as("id"),
-        array_distinct(transform(idx,
-          i => TextOps.portableHash31(array_join(slice(toks, i + 1, lit(shingleK)), " "))))
-          .as("hs"))
-    val sigs = array(MinhashCoeffs.map { case (a, b) =>
-      array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % MinhashPrime))
-    }: _*)
+        Bridge.column(graft.functions.TokenShingleHash31(
+          Bridge.expression(toks), shingleK)).as("hs"))
+    val sigs = Bridge.column(graft.functions.MinhashSigs(
+      Bridge.expression(col("hs")),
+      MinhashCoeffs.map(_._1), MinhashCoeffs.map(_._2), MinhashPrime))
     // the short-doc filter tests the CHEAP precursor (token count), never
     // size(hs): a size(hs) > 0 filter gets predicate-pushed below any
     // downstream exchange with the whole md5-shingle transform INLINED into
