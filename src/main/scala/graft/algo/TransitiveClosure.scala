@@ -24,6 +24,17 @@ object TransitiveClosure {
     * closure.
     */
   def minDist(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // per-round state rides the IterUtil partition budget: the lazy
+    // checkpoint inherits the static shuffle partition count, so on a
+    // small hierarchy every round's join + re-aggregation scheduled 128
+    // near-empty tasks per side; coalescing to a size-derived count
+    // (capped at the current count — closures that outgrow one partition
+    // keep their parallelism) cuts the per-round overhead to one task
+    def pinned(df: DataFrame, n: Long): DataFrame = {
+      val cur = df.rdd.getNumPartitions
+      val p = math.max(1L, math.min(cur.toLong, n / 4000000L + 1L)).toInt
+      if (p < cur) df.coalesce(p) else df
+    }
     var r = edges.select(col("src"), col("dst"), lit(1L).as("dist"))
       .where(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(min("dist").as("dist"))
@@ -33,6 +44,7 @@ object TransitiveClosure {
       (row.getLong(0), row.getLong(1))
     }
     var cur = state(r) // materializes the checkpoint: one job per round
+    r = pinned(r, cur._1)
     var prev = (-1L, -1L)
     var rounds = 0
     while (cur != prev) {
@@ -45,11 +57,12 @@ object TransitiveClosure {
       val hop = a.join(b, "mid")
         .select(col("src"), col("dst"), (col("d1") + col("d2")).as("dist"))
         .where(col("src") =!= col("dst"))
-      r = r.union(hop)
+      val next = r.union(hop)
         .groupBy("src", "dst").agg(min("dist").as("dist"))
         .localCheckpoint(false)
       prev = cur
-      cur = state(r)
+      cur = state(next)
+      r = pinned(next, cur._1)
     }
     r
   }

@@ -80,12 +80,19 @@ object EntityLinker {
     // in a prefixed temp column so a legitimate input `link` column passes
     // through untouched (ADVICE r2)
     val tmp = "__graft_link"
-    // tmp is in the clash list because withColumn(tmp, ...) would silently
+    val tmpToks = "__graft_link_toks"
+    // tmp/tmpToks are in the clash list because withColumn would silently
     // clobber (and drop) a caller column of that name
-    val clash = Seq("mention", "entity", "score", tmp).filter(turns.columns.contains)
+    val clash = Seq("mention", "entity", "score", tmp, tmpToks)
+      .filter(turns.columns.contains)
     require(clash.isEmpty,
       s"input already has column(s) ${clash.mkString(", ")} — rename them before link()")
-    val toks = split(Extractor.normalizeCol(col(textCol)), " ")
+    // tokenization (regex normalize + split) lands in its OWN projected
+    // column first: referenced as an attribute, it is evaluated once per
+    // row, where inlining the expression into every per-alias branch
+    // (array_contains + 2 candidate intersects x 3 aliases) re-ran the
+    // regex chain ~7x per row
+    val toks = col(tmpToks)
     val perAlias = aliases.map { alias =>
       val best = bestOf(toks, ambiguous(alias))
       when(array_contains(toks, alias),
@@ -94,11 +101,19 @@ object EntityLinker {
           best.getField("entity").as("entity"),
           best.getField("score").as("score")))
     }
+    // explode_OUTER + isNotNull, not plain explode: InferFiltersFromGenerate
+    // would otherwise push a size(...) > 0 filter below the Generate with
+    // the entire per-alias scoring tree inlined — one full extra evaluation
+    // per row (the doc_minhash_lsh pathology). The outer generate emits one
+    // null row for mention-free turns, which the post-filter drops — same
+    // output.
     turns
-      .withColumn(tmp, explode(array_compact(array(perAlias: _*))))
+      .withColumn(tmpToks, split(Extractor.normalizeCol(col(textCol)), " "))
+      .withColumn(tmp, explode_outer(array_compact(array(perAlias: _*))))
+      .where(col(tmp).isNotNull)
       .withColumn("mention", col(s"$tmp.mention"))
       .withColumn("entity", col(s"$tmp.entity"))
       .withColumn("score", col(s"$tmp.score"))
-      .drop(tmp)
+      .drop(tmp, tmpToks)
   }
 }

@@ -173,8 +173,10 @@ object GraphTables {
   def kHop(edges: DataFrame, edgeLabel: String, srcFilter: Column,
            maxHops: Int): DataFrame = {
     require(maxHops >= 1, "maxHops must be >= 1")
-    val e = edges.where(col("label") === edgeLabel)
-      .select(col("src"), col("dst")).distinct()
+    // pinned once: every hop joins the frontier against this set, and the
+    // lazy form re-ran the scan + filter + dedup shuffle per hop
+    val e = graft.algo.IterUtil.pin(edges.where(col("label") === edgeLabel)
+      .select(col("src"), col("dst")).distinct())
     val hop1 = e.where(srcFilter)
       .select(col("src").as("origin"), col("dst").as("v")).distinct()
     var all = hop1.withColumn("hops", lit(1))
@@ -213,11 +215,15 @@ object GraphTables {
     require(nWalks >= 1 && steps >= 1, "need nWalks >= 1, steps >= 1")
     import graft.ops.TextOps.portableHash64
     val e = edges.select(col("src"), col("dst")).distinct()
-    val adj = e.withColumn("rank",
+    // the ranked adjacency is joined twice per step; pinned once, each
+    // step's two joins read the stored blocks instead of re-running the
+    // scan + dedup + window per consumer
+    val adj = graft.algo.IterUtil.pin(e.withColumn("rank",
       row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy("src").orderBy("dst")) - 1)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("d"))
-    val starts = e.where(startFilter).select(col("src").as("origin")).distinct()
+        .partitionBy("src").orderBy("dst")) - 1))
+    // out-degree from the pinned adjacency (= distinct out-neighbor count)
+    val outdeg = adj.groupBy("src").agg(count(lit(1)).as("d"))
+    val starts = adj.where(startFilter).select(col("src").as("origin")).distinct()
     val w0 = starts
       .select(col("origin"),
         explode(sequence(lit(0), lit(nWalks - 1))).as("walk"),
@@ -274,8 +280,12 @@ object GraphTables {
     val ranked = edges.select(col("src"), col("dst")).distinct()
       .withColumn("rank",
         row_number().over(W.partitionBy("src").orderBy("dst")) - 1)
-    val adj = (if (maxOutDegree > 0) ranked.where(col("rank") < maxOutDegree)
-               else ranked).select(col("src"), col("dst"), col("rank"))
+    // pinned once: the capped adjacency is joined 3x per step (candidate
+    // expansion, the t->x common-edge probe, plus the step-1 draw), and
+    // the lazy form re-ran the scan + dedup + window per consumer
+    val adj = graft.algo.IterUtil.pin(
+      (if (maxOutDegree > 0) ranked.where(col("rank") < maxOutDegree)
+       else ranked).select(col("src"), col("dst"), col("rank")))
     val outdeg = adj.groupBy("src").agg(count(lit(1)).as("d"))
     val starts = adj.where(startFilter).select(col("src").as("origin")).distinct()
     val w0 = starts

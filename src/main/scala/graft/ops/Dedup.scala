@@ -54,7 +54,6 @@ object Dedup {
                         auditDrops: Boolean = false): DataFrame = {
     val sh = TextOps.shingles(docs, idCol, textCol, k)
       .select(col(idCol).as("id"), col("shingle")).distinct()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val blocked = if (maxDf > 0) {
       val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .where(col("df") > maxDf)
@@ -71,16 +70,30 @@ object Dedup {
       .where(col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    // exact intersection over the FULL shingle sets (equi-join = set ∩)
-    val inter = cands
-      .join(sh.select(col("id").as("a"), col("shingle")), "a")
-      .join(sh.select(col("id").as("b"), col("shingle")), Seq("b", "shingle"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sa"), "a")
-      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "sb"), "b")
+    // exact intersection over the FULL shingle sets by PER-PAIR array
+    // intersection: each candidate ships two shingle-set arrays instead of
+    // Σ|A∩B| exploded rows through a double join + count + two size joins
+    // (guide §2.3). Set sizes fall out of the arrays, so the separate
+    // `sizes` table disappears from this path; `inter >= 1` reproduces the
+    // inner double-join exactly (candidates share a blocked shingle that
+    // is present in both full sets, so no pair is lost even at minJ = 0).
+    // The array table is a DETERMINISTIC map-only projection (native
+    // shingle kernel + array_distinct — no explode/regroup, no eager job:
+    // plan construction stays job-free per PlanSpec, and the a/b join
+    // sides canonicalize for exchange reuse where a collect_list would
+    // not).
+    import org.apache.spark.sql.graft.Bridge
+    val arr = docs.select(col(idCol).as("id"),
+      array_distinct(Bridge.column(graft.functions.TokenShingles(
+        Bridge.expression(TextOps.tokens(col(textCol))), k, " "))).as("toks"))
+    cands
+      .join(arr.select(col("id").as("a"), col("toks").as("__ta")), "a")
+      .join(arr.select(col("id").as("b"), col("toks").as("__tb")), "b")
+      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))))
+      .where(col("inter") >= 1)
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
+        col("inter").cast("double") /
+          (size(col("__ta")) + size(col("__tb")) - col("inter")))
       .where(col("jaccard") >= minJ)
       .select(col("a"), col("b"), col("jaccard"))
   }

@@ -213,11 +213,17 @@ object SimJoin {
       .select(col("x.id").as("a"), col("y.id").as("b"), col("x.sz").as("sa"))
       .distinct()
 
+    // exact verification by PER-PAIR array intersection (see
+    // prefixJaccardPairs — same shuffle-volume + determinism argument;
+    // prefix-token sharing guarantees inter >= 1, kept as an explicit
+    // filter for exact double-join equivalence)
+    val arr = docs.select(col(idCol).as("id"),
+      array_remove(array_distinct(split(col(textCol), " +")), "").as("toks"))
     cands
-      .join(tok.select(col("id").as("a"), col("token")), "a")
-      .join(tok.select(col("id").as("b"), col("token")), Seq("b", "token"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("inter"), max("sa").as("sa"))
+      .join(arr.select(col("id").as("a"), col("toks").as("__ta")), "a")
+      .join(arr.select(col("id").as("b"), col("toks").as("__tb")), "b")
+      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))))
+      .where(col("inter") >= 1)
       .withColumn("containment", col("inter").cast("double") / col("sa"))
       .where(col("containment") >= minC)
       .select(col("a"), col("b"), col("containment"))
@@ -279,11 +285,22 @@ object SimJoin {
         col("x.sz").as("sa"), col("y.sz").as("sb"))
       .distinct()
 
+    // exact verification by PER-PAIR array intersection: each candidate
+    // ships the two token-set arrays instead of Σ|A∩B| exploded rows
+    // through a double join + count (guide §2.3 — shuffle fewer bytes).
+    // The array table is a DETERMINISTIC map-only projection straight off
+    // the input (array_distinct of the split, "" dropped like the
+    // length>0 filter) — no explode/regroup shuffle, plan construction
+    // stays lazy, and the a/b join sides canonicalize for exchange reuse.
+    // `inter >= 1` reproduces the inner double-join exactly;
+    // prefix-sharing candidates always intersect, so no pair is lost.
+    val arr = docs.select(col(idCol).as("id"),
+      array_remove(array_distinct(split(col(textCol), " +")), "").as("toks"))
     cands
-      .join(tok.select(col("id").as("a"), col("token")), "a")
-      .join(tok.select(col("id").as("b"), col("token")), Seq("b", "token"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("inter"), max("sa").as("sa"), max("sb").as("sb"))
+      .join(arr.select(col("id").as("a"), col("toks").as("__ta")), "a")
+      .join(arr.select(col("id").as("b"), col("toks").as("__tb")), "b")
+      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))))
+      .where(col("inter") >= 1)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sa") + col("sb") - col("inter")))
       .where(col("jaccard") >= minJ)

@@ -44,11 +44,15 @@ object TextOps {
     * document (empty when the document has fewer than k tokens).
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    // NATIVE codegen shingle texts (graft.functions.TokenShingles): the
+    // transform/array_join/slice lambda chain is CodegenFallback and
+    // evaluates interpreted per element; the compiled loop emits the
+    // identical strings (n < k => empty, as the old CASE form)
+    import org.apache.spark.sql.graft.Bridge
     val t = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
-    val idx = when(size(col("toks")) >= k, sequence(lit(0), size(col("toks")) - k))
-      .otherwise(typedlit(Seq.empty[Int]))
     t.select(col(idCol), posexplode(
-      transform(idx, i => array_join(slice(col("toks"), i + 1, lit(k)), " ")))
+      Bridge.column(graft.functions.TokenShingles(
+        Bridge.expression(col("toks")), k, " ")))
       .as(Seq("pos", "shingle")))
   }
 

@@ -155,11 +155,14 @@ object ConstructQueries {
     }),
 
     "kg_snapshot_diff" -> ((s, dir) => {
-      val li = s.read.parquet(s"$dir/lineitem.parquet").select(
-        concat(lit("v"), (col("l_orderkey") % 4096).cast("string")).as("src"),
-        concat(lit("v"), (col("l_partkey") % 4096).cast("string")).as("dst"),
-        concat(lit("p"), (col("l_suppkey") % 7).cast("string")).as("label"),
-        col("l_linenumber").as("ln"))
+      // pinned once: churn (3 scans per side) + degree delta (1 per side)
+      // re-ran the parquet scan + concat projection 8x from the lazy form
+      val li = graft.algo.IterUtil.pin(
+        s.read.parquet(s"$dir/lineitem.parquet").select(
+          concat(lit("v"), (col("l_orderkey") % 4096).cast("string")).as("src"),
+          concat(lit("v"), (col("l_partkey") % 4096).cast("string")).as("dst"),
+          concat(lit("p"), (col("l_suppkey") % 7).cast("string")).as("label"),
+          col("l_linenumber").as("ln")))
       val before = li.where(col("ln") <= 4).drop("ln")
       val after = li.where(col("ln") >= 2).drop("ln")
       val dd = Fusion.degreeDelta(before, after).agg(
@@ -280,10 +283,11 @@ object ConstructQueries {
       // one doc pair each — bounded by construction)
       val d = s.read.parquet(s"$dir/documents.parquet")
       val ts = split(col("text"), " ")
-      val shArr = when(size(ts) >= 3,
-        transform(sequence(lit(1), size(ts) - 2),
-          i => array_join(slice(ts, i, lit(3)), "_")))
-        .otherwise(array().cast("array<string>"))
+      // native codegen shingle texts (graft.functions.TokenShingles) —
+      // identical strings to the composed transform/array_join form
+      val shArr = org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.TokenShingles(
+          org.apache.spark.sql.graft.Bridge.expression(ts), 3, "_"))
       val sh = d.select(col("doc_id"), explode(shArr).as("token")).distinct()
       val rare = sh.groupBy("token").agg(count(lit(1)).as("df"))
         .where(col("df") === 2)
@@ -312,10 +316,10 @@ object ConstructQueries {
       // 3-shingle sets; oracle is the independent shared-shingle join
       val d = s.read.parquet(s"$dir/documents.parquet")
       val ts = split(col("text"), " ")
-      val sh = when(size(ts) >= 3,
-        transform(sequence(lit(1), size(ts) - 2),
-          i => array_join(slice(ts, i, lit(3)), "_")))
-        .otherwise(array().cast("array<string>"))
+      // native codegen shingle texts — see doc_label_prop
+      val sh = org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.TokenShingles(
+          org.apache.spark.sql.graft.Bridge.expression(ts), 3, "_"))
       val shingled = d.select(col("doc_id"), array_join(sh, " ").as("shtext"))
       SimJoin.containmentPairs(shingled, "doc_id", "shtext", 0.9)
         .select(col("a"), col("b"),
@@ -331,10 +335,10 @@ object ConstructQueries {
       // so parity again proves completeness
       val d = s.read.parquet(s"$dir/documents.parquet")
       val ts = split(col("text"), " ")
-      val sh = when(size(ts) >= 3,
-        transform(sequence(lit(1), size(ts) - 2),
-          i => array_join(slice(ts, i, lit(3)), "_")))
-        .otherwise(array().cast("array<string>"))
+      // native codegen shingle texts — see doc_label_prop
+      val sh = org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.TokenShingles(
+          org.apache.spark.sql.graft.Bridge.expression(ts), 3, "_"))
       val shingled = d.select(col("doc_id"), array_join(sh, " ").as("shtext"))
       SimJoin.prefixJaccardPairs(shingled, "doc_id", "shtext", 0.75)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
