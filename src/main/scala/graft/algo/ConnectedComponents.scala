@@ -166,13 +166,19 @@ object ConnectedComponents {
     */
   // diagnostics only: per-phase walls on stderr when SPARK_GRAFT_CC_TIMING
   // is set (used by tools.CcLegProbe to attribute leg scaling)
-  /** Narrow coalesce of a materialized frame to `ceil(n / 4M)` partitions
-    * (never more than it already has) — the IterUtil row budget applied to
-    * the kernel's own checkpoints.
+  /** Narrow coalesce of a materialized frame to `ceil(n / 64k)` partitions
+    * (never more than it already has). The budget is ROW-count based and
+    * deliberately finer than IterUtil's 4M-row default: a star round does
+    * real per-row join/aggregate compute (~µs/row), so a 64k-row partition
+    * carries ~50-100 ms of work — well above task-scheduling overhead but
+    * small enough that a mid-sized graph (10^5-10^6 pairs) still spreads
+    * across cores, where a single 4M-row budget serialized its rounds onto
+    * one task. Large graphs are untouched (the cap at the current count
+    * binds first).
     */
   private def sizeCoalesced(df: DataFrame, n: Long): DataFrame = {
     val cur = df.rdd.getNumPartitions
-    val p = math.max(1L, math.min(cur.toLong, n / 4000000L + 1L)).toInt
+    val p = math.max(1L, math.min(cur.toLong, n / 65536L + 1L)).toInt
     if (p < cur) df.coalesce(p) else df
   }
 

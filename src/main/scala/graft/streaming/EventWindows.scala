@@ -40,15 +40,27 @@ object EventWindows {
       .select(
         unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n"), round(col("sum_value"), 6).as("sum_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
+    // state-store partitioning tracks the session's core budget, not the
+    // batch shuffle-partition setting: the streaming agg creates one state
+    // store (RocksDB/HDFS dir, maintenance thread, per-batch task) per
+    // shuffle partition for the LIFETIME of the query, and AQE never
+    // coalesces streaming stages — at 128 static partitions every
+    // microbatch of this bounded replay scheduled 128 mostly-empty
+    // stateful tasks. Scale-adaptive (defaultParallelism = the session's
+    // cores), not a local-mode constant; restored after the drain so batch
+    // queries keep the session setting.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, spark.sparkContext.defaultParallelism.toString)
     try {
-      q.processAllAvailable()
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start() // clones the session conf; the drain below runs on the clone
+      try q.processAllAvailable() finally q.stop()
     } finally {
-      q.stop()
+      spark.conf.set(key, prev) // batch queries keep the session setting
     }
     spark.table(name)
   }
