@@ -147,10 +147,20 @@ object GraphTables {
         .where(col("d") > maxContextDf).select("ctx")
       t.join(broadcast(hot), Seq("ctx"), "left_anti")
     } else t
-    blocked.as("x")
-      .join(blocked.select(col("ctx"), col("item").as("item2")).as("y"), "ctx")
-      .where(col("item") < col("item2"))
-      .groupBy(col("item").as("a"), col("item2").as("b"))
+    // fold each context's items into ONE sorted array (bounded at
+    // maxContextDf by the guard above) and emit every unordered pair
+    // exactly once through the native ArrayPairs kernel — the ctx
+    // self-join streamed both orderings of every pair before the
+    // item < item2 filter kept half, and the groupBy rides the fold's
+    // ctx-partitioning (same degree-oriented move as LinkPredict)
+    val lists = blocked.groupBy("ctx")
+      .agg(sort_array(collect_list(col("item"))).as("xs"))
+      .where(size(col("xs")) >= 2)
+    lists.select(explode_outer(
+        org.apache.spark.sql.graft.Bridge.column(graft.functions.ArrayPairs(
+          org.apache.spark.sql.graft.Bridge.expression(col("xs"))))).as("p"))
+      .where(col("p").isNotNull)
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("weight"))
   }
 

@@ -49,10 +49,14 @@ object LinkPredict {
       // 1/ln(dw) is constant per center: evaluate it once per list here
       // instead of once per exploded pair (the pair volume is ~deg^2/2)
       .select((lit(1.0) / log(col("dw").cast("double"))).as("invlog"), col("xs"))
-    val pairs = lists.select(col("invlog"), explode(flatten(
-        transform(col("xs"), (x, i) => transform(
-          slice(col("xs"), i + lit(2), size(col("xs"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+    // NATIVE codegen pair emission (graft.functions.ArrayPairs): the
+    // nested transform/flatten lambda chain is CodegenFallback — ~30 µs of
+    // interpreted evaluation per emitted pair, the dominant stage cost at
+    // tens of millions of wedges
+    val pairs = lists.select(col("invlog"), explode_outer(
+        org.apache.spark.sql.graft.Bridge.column(graft.functions.ArrayPairs(
+          org.apache.spark.sql.graft.Bridge.expression(col("xs"))))).as("p"))
+      .where(col("p").isNotNull)
       .select(col("p.a").as("a"), col("p.b").as("b"), col("invlog"))
     pairs.groupBy("a", "b").agg(
         count(lit(1)).as("common_neighbors"),

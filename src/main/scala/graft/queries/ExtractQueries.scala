@@ -56,9 +56,17 @@ object ExtractQueries {
     "kg_extract_mentions" -> ((s, dir) => {
       val turns = s.read.parquet(s"$dir/orders.parquet").select(textExpr(s).as("text"))
       val aliasIdMap = typedlit(Gazetteer.aliasToId)
+      // explode_OUTER + isNotNull, not plain explode: the inferred
+      // size(...) > 0 filter of a plain explode is pushed below the
+      // Generate with the normalize + gazetteer regex chain INLINED — the
+      // whole extraction regex evaluated twice per row. The outer generate
+      // emits one null row for mention-free turns (none exist in this
+      // synthesis, but the plan shape must not depend on that), which the
+      // post-filter drops — identical output.
       turns
-        .select(explode(regexp_extract_all(
+        .select(explode_outer(regexp_extract_all(
           Extractor.normalizeCol(col("text")), lit(Gazetteer.pattern), lit(1))).as("mention"))
+        .where(col("mention").isNotNull)
         .select(element_at(aliasIdMap, col("mention")).as("entity"))
         .groupBy("entity").agg(count(lit(1)).as("mentions"))
         .orderBy("entity")
