@@ -27,31 +27,46 @@ object KTruss {
     */
   def run(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
     require(k >= 3, "k must be >= 3 (the 2-truss is the whole simple graph)")
-    // Orient ONCE by the initial (degree, id) order and carry the oriented
-    // endpoints through the peel: any FIXED total vertex order finds each
-    // triangle of the surviving subgraph exactly once, so later rounds can
-    // reuse the round-0 orientation — the per-round re-simplification,
-    // degree aggregation and two orientation joins the generic
-    // [[Triangles.triangles]] entry pays are hoisted out of the loop.
-    val simple0 = GraphTables.simpleUndirected(edges)
-    val deg0 = simple0.select(col("a").as("v"))
-      .union(simple0.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
-    val loFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
-    var cur = simple0
-      .join(deg0.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
-      .join(deg0.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
-      .select(col("a"), col("b"),
-        when(loFirst, col("a")).otherwise(col("b")).as("lo"),
-        when(loFirst, col("b")).otherwise(col("a")).as("hi"),
-        when(loFirst, col("db")).otherwise(col("da")).as("dhi"))
-      .localCheckpoint(false)
+    // Orient by (degree, id) and carry the oriented endpoints through the
+    // peel: any FIXED total vertex order finds each triangle of the
+    // surviving subgraph exactly once, so rounds can reuse an earlier
+    // orientation — the per-round re-simplification, degree aggregation
+    // and two orientation joins the generic [[Triangles.triangles]] entry
+    // pays are hoisted out of the loop. The orientation is REFRESHED from
+    // the CURRENT degrees whenever the edge set has at least halved since
+    // it was last computed: correctness never needs the refresh (the
+    // triangle set is orientation-invariant), but the wedge-volume bound
+    // Σ d_lo(oriented)² = O(m^1.5) only holds for the degrees of the graph
+    // being joined — a heavy peel leaves round-0 hubs mis-oriented and the
+    // sf1 probe measured the wedge join 3-4x over budget on the stale
+    // order. The halving rule is deterministic (a pure function of the
+    // materialized counts) and amortizes the re-orientation joins to
+    // O(log m) total.
+    def orient(simple: DataFrame): DataFrame = {
+      val deg = simple.select(col("a").as("v"))
+        .union(simple.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val loFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+      simple
+        .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+        .select(col("a"), col("b"),
+          when(loFirst, col("a")).otherwise(col("b")).as("lo"),
+          when(loFirst, col("b")).otherwise(col("a")).as("hi"),
+          when(loFirst, col("db")).otherwise(col("da")).as("dhi"))
+    }
+    var cur = orient(GraphTables.simpleUndirected(edges)).localCheckpoint(false)
     var lastSup: DataFrame = null
     var prev = -1L
     var cnt = cur.count()
+    var orientCnt = cnt
     var round = 0
     while (cnt != prev && round < maxRounds) {
       prev = cnt
+      if (cnt * 2 <= orientCnt) {
+        cur = orient(cur.select("a", "b")).localCheckpoint(true)
+        orientCnt = cnt
+      }
       val e1 = cur.select(col("lo").as("u"), col("hi").as("v"), col("dhi").as("dv"))
       val e2 = cur.select(col("lo").as("u"), col("hi").as("w"), col("dhi").as("dw"))
       val wedges = e1.join(e2, Seq("u"))
